@@ -1,0 +1,49 @@
+"""Volume-rendering equation over sampled colors/densities.
+
+Functional MipNeRF-style marcher matching
+`modules/eg3ds/volumetric_rendering/ray_marcher.py:20` (midpoint quadrature,
+softplus(sigma - 1) activation, alpha compositing, depth normalization and
+nan/clamp handling, optional white background, rgb rescaled to [-1, 1]).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def march_rays(
+    colors: jnp.ndarray,
+    densities: jnp.ndarray,
+    depths: jnp.ndarray,
+    white_back: bool = False,
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """colors [B,M,S,C], densities [B,M,S,1], depths [B,M,S,1] ->
+    (rgb [B,M,C] in [-1,1], depth [B,M,1], weights [B,M,S-1,1]).
+    """
+    deltas = depths[:, :, 1:] - depths[:, :, :-1]
+    colors_mid = (colors[:, :, :-1] + colors[:, :, 1:]) / 2
+    densities_mid = (densities[:, :, :-1] + densities[:, :, 1:]) / 2
+    depths_mid = (depths[:, :, :-1] + depths[:, :, 1:]) / 2
+
+    densities_mid = jax.nn.softplus(densities_mid - 1.0)
+
+    density_delta = densities_mid * deltas
+    alpha = 1.0 - jnp.exp(-density_delta)
+    alpha_shifted = jnp.concatenate(
+        [jnp.ones_like(alpha[:, :, :1]), 1.0 - alpha + 1e-10], axis=-2
+    )
+    transmittance = jnp.cumprod(alpha_shifted, axis=-2)[:, :, :-1]
+    weights = alpha * transmittance
+
+    composite_rgb = jnp.sum(weights * colors_mid, axis=-2)
+    weight_total = jnp.sum(weights, axis=-2)
+    composite_depth = jnp.sum(weights * depths_mid, axis=-2) / weight_total
+    composite_depth = jnp.nan_to_num(composite_depth, nan=jnp.inf)
+    composite_depth = jnp.clip(composite_depth, jnp.min(depths), jnp.max(depths))
+
+    if white_back:
+        composite_rgb = composite_rgb + 1.0 - weight_total
+
+    composite_rgb = composite_rgb * 2.0 - 1.0
+    return composite_rgb, composite_depth, weights

@@ -1,0 +1,285 @@
+"""Two-pass importance-sampled tri-plane/tri-grid volume renderer.
+
+TPU-first functional redesign of the EG3D `ImportanceRenderer`
+(`modules/eg3ds/volumetric_rendering/renderer.py:107`):
+
+* everything is a pure function of (planes, decoder params, rays, options,
+  PRNG key) — no module state, fully jit/vmap/shard_map friendly;
+* plane projections are static index permutations instead of 3x3 matrix
+  inverses (the reference's `generate_planes`/`project_onto_planes` pair
+  resolves to exactly these permutations);
+* the ray axis is the natural sharding axis: all ops are elementwise over
+  rays except the final reshape, so a `shard_map` over rays needs no
+  collectives until image assembly (SURVEY.md §5 "written ray-sharded").
+
+Plane layout is channels-last: triplane ``[B, 3, H, W, C]``; trigrid
+``[B, 3, D, H, W, C]``.  Sample coordinates are world xyz in the
+``box_warp``-scaled unit box.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from real3dportrait_tpu.ops.grid_sample import grid_sample_2d, grid_sample_3d
+from real3dportrait_tpu.rendering import math_utils
+from real3dportrait_tpu.rendering.ray_marcher import march_rays
+
+# Static projections of world xyz onto the three planes, equal to the
+# reference's coordinates @ inv(plane_axes) (renderer.py:30-63):
+# plane 0 -> (x, y | z), plane 1 -> (x, z | y), plane 2 -> (z, x | y).
+_PLANE_PERMS = ((0, 1, 2), (0, 2, 1), (2, 0, 1))
+
+
+class RenderOptions(NamedTuple):
+    """Static rendering options (hashable, safe as a jit static arg)."""
+
+    depth_resolution: int = 48
+    depth_resolution_importance: int = 48
+    box_warp: float = 1.0
+    ray_start: float | str = "auto"
+    ray_end: float | str = "auto"
+    white_back: bool = False
+    disparity_space_sampling: bool = False
+    density_noise: float = 0.0
+
+    @classmethod
+    def from_config(cls, cfg) -> "RenderOptions":
+        return cls(
+            depth_resolution=cfg.get("num_samples_coarse", 48),
+            depth_resolution_importance=cfg.get("num_samples_fine", 48),
+            box_warp=float(cfg.get("box_warp", 1.0)),
+            ray_start=cfg.get("ray_near", "auto"),
+            ray_end=cfg.get("ray_far", "auto"),
+            white_back=bool(cfg.get("white_back", False)),
+        )
+
+
+def sample_from_planes(
+    planes: jnp.ndarray, coordinates: jnp.ndarray, box_warp: float
+) -> jnp.ndarray:
+    """planes [B,3,H,W,C], coords [B,M,3] -> features [B,3,M,C]."""
+    coords = (2.0 / box_warp) * coordinates
+    outs = []
+    for k, perm in enumerate(_PLANE_PERMS):
+        uv = coords[..., jnp.array(perm[:2])]
+        outs.append(grid_sample_2d(planes[:, k], uv))
+    return jnp.stack(outs, axis=1)
+
+
+def sample_from_trigrids(
+    planes: jnp.ndarray, coordinates: jnp.ndarray, box_warp: float
+) -> jnp.ndarray:
+    """planes [B,3,D,H,W,C], coords [B,M,3] -> features [B,3,M,C].
+
+    The tri-grid extends each plane with a shallow depth axis
+    (`renderer.py:78`, triplane_depth D); the third projected coordinate
+    indexes that axis trilinearly.
+    """
+    coords = (2.0 / box_warp) * coordinates
+    outs = []
+    for k, perm in enumerate(_PLANE_PERMS):
+        xyz = coords[..., jnp.array(perm)]
+        outs.append(grid_sample_3d(planes[:, k], xyz))
+    return jnp.stack(outs, axis=1)
+
+
+def sample_features(
+    planes: jnp.ndarray, coordinates: jnp.ndarray, box_warp: float
+) -> jnp.ndarray:
+    """Dispatch on plane rank: [B,3,H,W,C] triplane or [B,3,D,H,W,C] trigrid."""
+    if planes.ndim == 5:
+        return sample_from_planes(planes, coordinates, box_warp)
+    if planes.ndim == 6:
+        return sample_from_trigrids(planes, coordinates, box_warp)
+    raise ValueError(f"planes must be rank 5 or 6, got {planes.ndim}")
+
+
+def run_model(
+    planes: jnp.ndarray,
+    decoder: Callable[[jnp.ndarray, jnp.ndarray], dict],
+    coordinates: jnp.ndarray,
+    directions: jnp.ndarray,
+    options: RenderOptions,
+    key: jax.Array | None = None,
+) -> dict:
+    """Sample plane features at coords and decode to {'rgb','sigma'}."""
+    feats = sample_features(planes, coordinates, options.box_warp)
+    out = decoder(feats, directions)
+    if options.density_noise > 0 and key is not None:
+        out = dict(out)
+        out["sigma"] = out["sigma"] + (
+            jax.random.normal(key, out["sigma"].shape, out["sigma"].dtype)
+            * options.density_noise
+        )
+    return out
+
+
+def _stratified_depths(
+    ray_start: jnp.ndarray,
+    ray_end: jnp.ndarray,
+    n: int,
+    key: jax.Array | None,
+) -> jnp.ndarray:
+    """[B,M,1] bounds -> [B,M,n,1] jittered (or midpoint) depths."""
+    depths = math_utils.broadcast_linspace(ray_start, ray_end, n)  # [n,B,M,1]
+    depths = jnp.moveaxis(depths, 0, 2)  # [B,M,n,1]
+    delta = ((ray_end - ray_start) / (n - 1))[:, :, None, :]
+    if key is None:
+        jitter = 0.5
+    else:
+        jitter = jax.random.uniform(key, depths.shape, depths.dtype)
+    return depths + jitter * delta
+
+
+def _smooth_weights(weights: jnp.ndarray) -> jnp.ndarray:
+    """max-pool(2, pad 1) then avg-pool(2) along samples (`renderer.py:241-245`)."""
+    w = weights[..., 0]  # [B,M,S]
+    padded = jnp.pad(w, ((0, 0), (0, 0), (1, 1)), constant_values=-jnp.inf)
+    mx = jnp.maximum(padded[..., :-1], padded[..., 1:])  # [B,M,S+1]
+    avg = (mx[..., :-1] + mx[..., 1:]) / 2.0  # [B,M,S]
+    return avg + 0.01
+
+
+def _sample_pdf(
+    bins: jnp.ndarray, weights: jnp.ndarray, n_importance: int, key: jax.Array | None,
+    eps: float = 1e-5,
+) -> jnp.ndarray:
+    """Inverse-CDF sampling (`renderer.py:254`). bins [R,S-1], weights [R,S-3]."""
+    r, s = weights.shape
+    weights = weights + eps
+    pdf = weights / jnp.sum(weights, axis=-1, keepdims=True)
+    cdf = jnp.cumsum(pdf, axis=-1)
+    cdf = jnp.concatenate([jnp.zeros_like(cdf[:, :1]), cdf], axis=-1)  # [R,S-2]
+
+    if key is None:
+        u = jnp.broadcast_to(jnp.linspace(0.0, 1.0, n_importance), (r, n_importance))
+    else:
+        u = jax.random.uniform(key, (r, n_importance))
+
+    inds = jax.vmap(lambda c, uu: jnp.searchsorted(c, uu, side="right"))(cdf, u)
+    below = jnp.clip(inds - 1, 0, None)
+    above = jnp.clip(inds, None, s)
+
+    cdf_b = jnp.take_along_axis(cdf, below, axis=1)
+    cdf_a = jnp.take_along_axis(cdf, above, axis=1)
+    bins_b = jnp.take_along_axis(bins, below, axis=1)
+    bins_a = jnp.take_along_axis(bins, above, axis=1)
+
+    denom = cdf_a - cdf_b
+    denom = jnp.where(denom < eps, 1.0, denom)
+    return bins_b + (u - cdf_b) / denom * (bins_a - bins_b)
+
+
+def sample_importance(
+    depths: jnp.ndarray, weights: jnp.ndarray, n_importance: int, key: jax.Array | None
+) -> jnp.ndarray:
+    """Coarse depths [B,M,S,1] + marcher weights [B,M,S-1,1] -> fine depths.
+
+    Gradients are stopped (the reference runs this under no_grad,
+    `renderer.py:234`).
+    """
+    b, m, s, _ = depths.shape
+    depths = jax.lax.stop_gradient(depths)
+    weights = jax.lax.stop_gradient(weights)
+    z = depths.reshape(b * m, s)
+    w = _smooth_weights(weights.reshape(b, m, s - 1, 1)).reshape(b * m, s - 1)
+    z_mid = (z[:, :-1] + z[:, 1:]) / 2.0
+    fine = _sample_pdf(z_mid, w[:, 1:-1], n_importance, key)
+    return fine.reshape(b, m, n_importance, 1)
+
+
+def _unify_samples(depths1, colors1, densities1, depths2, colors2, densities2):
+    """Merge coarse+fine along the sample axis, sorted by depth."""
+    all_depths = jnp.concatenate([depths1, depths2], axis=-2)
+    all_colors = jnp.concatenate([colors1, colors2], axis=-2)
+    all_densities = jnp.concatenate([densities1, densities2], axis=-2)
+    order = jnp.argsort(all_depths, axis=-2)
+    all_depths = jnp.take_along_axis(all_depths, order, axis=-2)
+    all_colors = jnp.take_along_axis(
+        all_colors, jnp.broadcast_to(order, all_colors.shape[:-1] + (1,)).repeat(
+            all_colors.shape[-1], axis=-1
+        ), axis=-2,
+    )
+    all_densities = jnp.take_along_axis(all_densities, order, axis=-2)
+    return all_depths, all_colors, all_densities
+
+
+def render_rays(
+    planes: jnp.ndarray,
+    decoder: Callable[[jnp.ndarray, jnp.ndarray], dict],
+    ray_origins: jnp.ndarray,
+    ray_directions: jnp.ndarray,
+    options: RenderOptions,
+    key: jax.Array | None = None,
+) -> dict[str, Any]:
+    """Full two-pass render (`renderer.py:118`).
+
+    Returns dict with ``rgb`` [B,M,C] (feature image, first 3 channels are
+    color), ``depth`` [B,M,1], ``weights_sum`` [B,M,1], ``is_ray_valid`` [B,M].
+    """
+    b, m, _ = ray_origins.shape
+    keys = jax.random.split(key, 4) if key is not None else (None,) * 4
+
+    if options.ray_start == "auto" or options.ray_end == "auto":
+        ray_start, ray_end, is_valid = math_utils.get_ray_limits_box(
+            ray_origins, ray_directions, options.box_warp
+        )
+        # invalid rays collapse to a degenerate near interval taken from the
+        # valid population (renderer.py:122-126)
+        big = jnp.float32(1e10)
+        start_min = jnp.min(jnp.where(is_valid[..., None], ray_start, big))
+        start_max = jnp.max(jnp.where(is_valid[..., None], ray_start, -big))
+        ray_start = jnp.where(is_valid[..., None], ray_start, start_min)
+        ray_end = jnp.where(is_valid[..., None], ray_end, start_max)
+    else:
+        ray_start = jnp.full((b, m, 1), float(options.ray_start), jnp.float32)
+        ray_end = jnp.full((b, m, 1), float(options.ray_end), jnp.float32)
+        is_valid = jnp.ones((b, m), bool)
+
+    s_coarse = options.depth_resolution
+    depths_coarse = _stratified_depths(ray_start, ray_end, s_coarse, keys[0])
+
+    def eval_at(depths, rng):
+        n_s = depths.shape[2]
+        coords = (
+            ray_origins[:, :, None, :] + depths * ray_directions[:, :, None, :]
+        ).reshape(b, -1, 3)
+        dirs = jnp.broadcast_to(
+            ray_directions[:, :, None, :], (b, m, n_s, 3)
+        ).reshape(b, -1, 3)
+        out = run_model(planes, decoder, coords, dirs, options, rng)
+        colors = out["rgb"].reshape(b, m, n_s, -1)
+        densities = out["sigma"].reshape(b, m, n_s, 1)
+        return colors, densities
+
+    colors_coarse, densities_coarse = eval_at(depths_coarse, keys[1])
+
+    n_imp = options.depth_resolution_importance
+    if n_imp > 0:
+        _, _, weights = march_rays(
+            colors_coarse, densities_coarse, depths_coarse, options.white_back
+        )
+        depths_fine = sample_importance(depths_coarse, weights, n_imp, keys[2])
+        colors_fine, densities_fine = eval_at(depths_fine, keys[3])
+        all_depths, all_colors, all_densities = _unify_samples(
+            depths_coarse, colors_coarse, densities_coarse,
+            depths_fine, colors_fine, densities_fine,
+        )
+        rgb, depth, weights = march_rays(
+            all_colors, all_densities, all_depths, options.white_back
+        )
+    else:
+        rgb, depth, weights = march_rays(
+            colors_coarse, densities_coarse, depths_coarse, options.white_back
+        )
+
+    return {
+        "rgb": rgb,
+        "depth": depth,
+        "weights_sum": jnp.sum(weights, axis=-2),
+        "is_ray_valid": is_valid,
+    }

@@ -1,0 +1,207 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from real3dportrait_tpu.ops import grid_sample_2d, grid_sample_3d
+from real3dportrait_tpu.rendering import (
+    RenderOptions,
+    get_ray_limits_box,
+    march_rays,
+    render_rays,
+    sample_from_planes,
+    sample_rays,
+)
+
+
+# --- grid sampling: golden comparison against torch (test oracle only) -----
+
+
+def test_grid_sample_2d_matches_torch():
+    import torch
+    import torch.nn.functional as F
+
+    rng = np.random.RandomState(0)
+    feats = rng.randn(2, 7, 9, 4).astype(np.float32)  # NHWC
+    coords = (rng.rand(2, 50, 2) * 2.4 - 1.2).astype(np.float32)  # includes OOB
+
+    ours = grid_sample_2d(jnp.asarray(feats), jnp.asarray(coords))
+
+    t_feats = torch.from_numpy(feats).permute(0, 3, 1, 2)  # NCHW
+    t_grid = torch.from_numpy(coords).unsqueeze(1)  # [B,1,M,2]
+    ref = F.grid_sample(t_feats, t_grid, mode="bilinear", padding_mode="zeros",
+                        align_corners=False)
+    ref = ref.squeeze(2).permute(0, 2, 1).numpy()  # [B,M,C]
+    np.testing.assert_allclose(np.asarray(ours), ref, rtol=1e-4, atol=1e-5)
+
+
+def test_grid_sample_3d_matches_torch():
+    import torch
+    import torch.nn.functional as F
+
+    rng = np.random.RandomState(1)
+    feats = rng.randn(2, 3, 5, 6, 4).astype(np.float32)  # NDHWC
+    coords = (rng.rand(2, 40, 3) * 2.4 - 1.2).astype(np.float32)
+
+    ours = grid_sample_3d(jnp.asarray(feats), jnp.asarray(coords))
+
+    t_feats = torch.from_numpy(feats).permute(0, 4, 1, 2, 3)  # NCDHW
+    t_grid = torch.from_numpy(coords).reshape(2, 1, 1, -1, 3)
+    ref = F.grid_sample(t_feats, t_grid, mode="bilinear", padding_mode="zeros",
+                        align_corners=False)
+    ref = ref.reshape(2, 4, -1).permute(0, 2, 1).numpy()
+    np.testing.assert_allclose(np.asarray(ours), ref, rtol=1e-4, atol=1e-5)
+
+
+def test_grid_sample_2d_grad_flows():
+    feats = jnp.ones((1, 4, 4, 2))
+    coords = jnp.zeros((1, 3, 2))
+    g = jax.grad(lambda f: grid_sample_2d(f, coords).sum())(feats)
+    assert float(jnp.abs(g).sum()) > 0
+
+
+# --- ray-box ----------------------------------------------------------------
+
+
+def test_ray_limits_box_analytic():
+    o = jnp.array([[[0.0, 0.0, 2.7]]])
+    d = jnp.array([[[0.0, 0.0, -1.0]]])
+    tmin, tmax, valid = get_ray_limits_box(o, d, box_side_length=1.0)
+    np.testing.assert_allclose(tmin[0, 0, 0], 2.2, atol=1e-5)
+    np.testing.assert_allclose(tmax[0, 0, 0], 3.2, atol=1e-5)
+    assert bool(valid[0, 0])
+
+
+def test_ray_limits_box_miss():
+    o = jnp.array([[[0.0, 0.0, 2.7]]])
+    d = jnp.array([[[0.0, 1.0, 0.0]]])  # parallel to box, offset outside
+    tmin, tmax, valid = get_ray_limits_box(o, d, 1.0)
+    assert not bool(valid[0, 0])
+    assert float(tmin[0, 0, 0]) == -1.0 and float(tmax[0, 0, 0]) == -2.0
+
+
+# --- ray sampler ------------------------------------------------------------
+
+
+def test_ray_sampler_center_pixel():
+    c2w = jnp.eye(4)[None]
+    intr = jnp.array([[[4.26, 0.0, 0.5], [0.0, 4.26, 0.5], [0.0, 0.0, 1.0]]])
+    res = 4
+    origins, dirs = sample_rays(c2w, intr, res)
+    assert origins.shape == (1, 16, 3) and dirs.shape == (1, 16, 3)
+    np.testing.assert_allclose(origins[0, 0], [0.0, 0.0, 0.0], atol=1e-6)
+    # mean direction of the symmetric pixel grid is the optical axis +z
+    mean_dir = np.asarray(dirs[0]).mean(0)
+    mean_dir /= np.linalg.norm(mean_dir)
+    np.testing.assert_allclose(mean_dir, [0, 0, 1], atol=1e-6)
+    np.testing.assert_allclose(np.linalg.norm(np.asarray(dirs[0]), axis=-1), 1.0, atol=1e-6)
+
+
+def test_ray_sampler_row_major():
+    # pixel (row 0, col 1) must differ from (row 1, col 0): x varies fastest
+    c2w = jnp.eye(4)[None]
+    intr = jnp.array([[[1.0, 0.0, 0.5], [0.0, 1.0, 0.5], [0.0, 0.0, 1.0]]])
+    _, dirs = sample_rays(c2w, intr, 3)
+    d = np.asarray(dirs[0]).reshape(3, 3, 3)
+    assert d[0, 0, 0] < d[0, 1, 0]  # x increases along columns
+    assert d[0, 0, 1] < d[1, 0, 1]  # y increases along rows
+
+
+# --- ray marcher ------------------------------------------------------------
+
+
+def test_march_rays_empty_space():
+    b, m, s = 1, 4, 8
+    colors = jnp.ones((b, m, s, 3)) * 0.25
+    densities = jnp.full((b, m, s, 1), -100.0)  # softplus(-101) ~ 0
+    depths = jnp.broadcast_to(jnp.linspace(2.0, 3.0, s).reshape(1, 1, s, 1), (b, m, s, 1))
+    rgb, depth, weights = march_rays(colors, densities, depths)
+    np.testing.assert_allclose(np.asarray(weights), 0.0, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(rgb), -1.0, atol=1e-5)  # 0*2-1
+    rgb_wb, _, _ = march_rays(colors, densities, depths, white_back=True)
+    np.testing.assert_allclose(np.asarray(rgb_wb), 1.0, atol=1e-5)  # (0+1)*2-1
+
+
+def test_march_rays_opaque_wall():
+    b, m, s = 1, 2, 16
+    colors = jnp.ones((b, m, s, 3)) * 0.75
+    densities = jnp.full((b, m, s, 1), 500.0)
+    depths = jnp.broadcast_to(jnp.linspace(2.0, 3.0, s).reshape(1, 1, s, 1), (b, m, s, 1))
+    rgb, depth, weights = march_rays(colors, densities, depths)
+    # fully opaque at first interval: total weight 1, color = 0.75*2-1 = 0.5
+    np.testing.assert_allclose(np.asarray(weights.sum(-2)), 1.0, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(rgb), 0.5, atol=1e-3)
+    # depth collapses to the first midpoint
+    np.testing.assert_allclose(np.asarray(depth)[..., 0], depths[0, 0, 0, 0] + 0.5 / 15,
+                               atol=1e-3)
+
+
+# --- full renderer ----------------------------------------------------------
+
+
+def _toy_decoder(feats, dirs):
+    """Mean over planes -> rgb from first channels, sigma from feature sum."""
+    x = feats.mean(axis=1)
+    rgb = jax.nn.sigmoid(x[..., :3]) * 1.002 - 0.001
+    sigma = x[..., 3:4]
+    return {"rgb": rgb, "sigma": sigma}
+
+
+@pytest.mark.parametrize("trigrid", [False, True])
+def test_render_rays_shapes_and_determinism(trigrid):
+    b, res = 1, 8
+    key = jax.random.PRNGKey(0)
+    if trigrid:
+        planes = jax.random.normal(key, (b, 3, 2, 16, 16, 8))
+    else:
+        planes = jax.random.normal(key, (b, 3, 16, 16, 8))
+    from real3dportrait_tpu.geometry import lookat_pose, fov_to_intrinsics
+
+    c2w = lookat_pose(jnp.zeros((b,)), jnp.zeros((b,)), jnp.zeros((b, 3)), radius=2.7)
+    intr = jnp.broadcast_to(fov_to_intrinsics(), (b, 3, 3))
+    origins, dirs = sample_rays(c2w, intr, res)
+    opts = RenderOptions(depth_resolution=12, depth_resolution_importance=12)
+
+    out = render_rays(planes, _toy_decoder, origins, dirs, opts, key=None)
+    assert out["rgb"].shape == (b, res * res, 3)
+    assert out["depth"].shape == (b, res * res, 1)
+    assert out["weights_sum"].shape == (b, res * res, 1)
+    assert bool(jnp.isfinite(out["rgb"]).all())
+    # deterministic without a key
+    out2 = render_rays(planes, _toy_decoder, origins, dirs, opts, key=None)
+    np.testing.assert_allclose(np.asarray(out["rgb"]), np.asarray(out2["rgb"]))
+    # jit-compatible
+    f = jax.jit(lambda p, o, d: render_rays(p, _toy_decoder, o, d, opts)["rgb"])
+    np.testing.assert_allclose(
+        np.asarray(f(planes, origins, dirs)), np.asarray(out["rgb"]), rtol=3e-2, atol=3e-2
+    )
+
+
+def test_render_rays_opaque_ball_depth():
+    """A dense center region must composite to a depth near the box front."""
+    b, res = 1, 8
+    # sigma channel (index 3) large everywhere -> opaque volume
+    planes = jnp.zeros((b, 3, 16, 16, 8)).at[..., 3].set(30.0)
+    from real3dportrait_tpu.geometry import lookat_pose, fov_to_intrinsics
+
+    c2w = lookat_pose(jnp.zeros((b,)), jnp.zeros((b,)), jnp.zeros((b, 3)), radius=2.7)
+    intr = jnp.broadcast_to(fov_to_intrinsics(), (b, 3, 3))
+    origins, dirs = sample_rays(c2w, intr, res)
+    opts = RenderOptions(depth_resolution=24, depth_resolution_importance=24)
+    out = render_rays(planes, _toy_decoder, origins, dirs, opts, key=None)
+    # weights should saturate ~1, depth ~2.2 (front face of the unit box)
+    assert float(out["weights_sum"].mean()) > 0.95
+    assert abs(float(out["depth"].mean()) - 2.2) < 0.1
+
+
+def test_sample_from_planes_projection_convention():
+    # plane 0 keys on (x, y): feature must be invariant to z
+    b = 1
+    planes = jnp.zeros((b, 3, 8, 8, 2))
+    planes = planes.at[:, 0].set(jax.random.normal(jax.random.PRNGKey(0), (b, 8, 8, 2)))
+    c1 = jnp.array([[[0.1, -0.2, 0.0]]])
+    c2 = jnp.array([[[0.1, -0.2, 0.3]]])
+    f1 = sample_from_planes(planes, c1, box_warp=1.0)
+    f2 = sample_from_planes(planes, c2, box_warp=1.0)
+    np.testing.assert_allclose(np.asarray(f1[:, 0]), np.asarray(f2[:, 0]), atol=1e-6)
+    assert float(jnp.abs(f1[:, 0]).sum()) > 0
