@@ -1,0 +1,181 @@
+"""Upsample–FIR–downsample resampling and resampling convolutions.
+
+XLA-native replacement for the reference's CUDA plugins
+(`modules/eg3ds/torch_utils/ops/upfirdn2d.{cpp,cu}` and
+`ops/conv2d_resample.py`): zero-insertion upsampling maps to
+``lhs_dilation``, FIR filtering to a depthwise convolution, and
+downsampling to ``window_strides`` — one fused `lax.conv_general_dilated`
+per call, which XLA:TPU tiles onto the MXU/VPU directly.  Layout is NHWC
+(channels-last, TPU-native); kernels are HWIO.
+
+Semantics (padding applied to the *upsampled* image, negative padding
+crops) match the reference so StyleGAN outputs are comparable.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+from jax import lax
+
+
+def setup_filter(f, normalize: bool = True, gain: float = 1.0) -> jnp.ndarray:
+    """Prepare a 2D FIR filter (`upfirdn2d.py:setup_filter` semantics).
+
+    1-D inputs are outer-product expanded. Returns a [fh, fw] float32 array.
+    """
+    if f is None:
+        f = [1.0]
+    f = np.asarray(f, dtype=np.float32)
+    if f.ndim == 0:
+        f = f[None]
+    if f.ndim == 1:
+        f = np.outer(f, f)
+    if normalize:
+        f = f / f.sum()
+    f = f * (gain ** (f.ndim / 2))
+    return jnp.asarray(f)
+
+
+def _parse_padding(padding) -> tuple[int, int, int, int]:
+    if isinstance(padding, int):
+        padding = [padding, padding]
+    if len(padding) == 2:
+        px, py = padding
+        return px, px, py, py
+    px0, px1, py0, py1 = padding
+    return px0, px1, py0, py1
+
+
+def upfirdn2d(
+    x: jnp.ndarray,
+    f: jnp.ndarray | None,
+    up: int = 1,
+    down: int = 1,
+    padding=0,
+    gain: float = 1.0,
+) -> jnp.ndarray:
+    """x [B,H,W,C] -> upsample(up), pad, FIR(f), downsample(down).
+
+    ``f`` is a [fh,fw] filter (true convolution: applied flipped, which is a
+    no-op for the symmetric binomial filters StyleGAN uses).
+    """
+    b, h, w, c = x.shape
+    px0, px1, py0, py1 = _parse_padding(padding)
+    if f is None:
+        f = jnp.ones((1, 1), jnp.float32)
+    fh, fw = f.shape
+    # flip for convolution semantics; scale by gain (and up² comes from caller)
+    kernel = (jnp.flip(f, (0, 1)) * gain).astype(jnp.float32)
+    kernel = jnp.broadcast_to(kernel[:, :, None, None], (fh, fw, 1, c)).astype(x.dtype)
+
+    # padding is relative to the upsampled image. lhs_dilation produces
+    # (n-1)*up+1 samples, while upfirdn semantics zero-pad to n*up: add the
+    # missing up-1 trailing zeros on each spatial axis.
+    pad = ((py0, py1 + up - 1), (px0, px1 + up - 1))
+    out = lax.conv_general_dilated(
+        x.astype(jnp.float32) if x.dtype == jnp.float16 else x,
+        kernel.astype(x.dtype if x.dtype != jnp.float16 else jnp.float32),
+        window_strides=(down, down),
+        padding=pad,
+        lhs_dilation=(up, up),
+        rhs_dilation=(1, 1),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=c,
+    )
+    return out.astype(x.dtype)
+
+
+def filter2d(x: jnp.ndarray, f: jnp.ndarray, padding=0, gain: float = 1.0) -> jnp.ndarray:
+    """FIR-filter only (`upfirdn2d.py:filter2d`): pads so shape is preserved."""
+    fh, fw = f.shape
+    px0, px1, py0, py1 = _parse_padding(padding)
+    return upfirdn2d(
+        x, f, padding=(px0 + fw // 2, px1 + (fw - 1) // 2, py0 + fh // 2, py1 + (fh - 1) // 2),
+        gain=gain,
+    )
+
+
+def upsample2d(x: jnp.ndarray, f: jnp.ndarray, up: int = 2, padding=0, gain: float = 1.0):
+    """2x (or up-x) antialiased upsampling (`upfirdn2d.py:upsample2d`)."""
+    fh, fw = f.shape
+    px0, px1, py0, py1 = _parse_padding(padding)
+    return upfirdn2d(
+        x, f, up=up,
+        padding=(
+            px0 + (fw + up - 1) // 2,
+            px1 + (fw - up) // 2,
+            py0 + (fh + up - 1) // 2,
+            py1 + (fh - up) // 2,
+        ),
+        gain=gain * up * up,
+    )
+
+
+def downsample2d(x: jnp.ndarray, f: jnp.ndarray, down: int = 2, padding=0, gain: float = 1.0):
+    """2x (or down-x) antialiased downsampling (`upfirdn2d.py:downsample2d`)."""
+    fh, fw = f.shape
+    px0, px1, py0, py1 = _parse_padding(padding)
+    return upfirdn2d(
+        x, f, down=down,
+        padding=(
+            px0 + (fw - down + 1) // 2,
+            px1 + (fw - down) // 2,
+            py0 + (fh - down + 1) // 2,
+            py1 + (fh - down) // 2,
+        ),
+        gain=gain,
+    )
+
+
+def conv2d_resample(
+    x: jnp.ndarray,
+    w: jnp.ndarray,
+    f: jnp.ndarray | None = None,
+    up: int = 1,
+    down: int = 1,
+    padding=0,
+    groups: int = 1,
+    flip_weight: bool = True,
+) -> jnp.ndarray:
+    """2D conv with optional up/downsampling (`conv2d_resample.py:conv2d_resample`).
+
+    x: [B,H,W,Cin]; w: [kh,kw,Cin//groups,Cout] (HWIO); padding is w.r.t. the
+    upsampled image and applied once.
+    """
+    kh, kw = w.shape[0], w.shape[1]
+    fh, fw = (f.shape if f is not None else (1, 1))
+    px0, px1, py0, py1 = _parse_padding(padding)
+
+    if not flip_weight and (kh > 1 or kw > 1):
+        w = jnp.flip(w, (0, 1))
+
+    def conv(x_, stride=1, pad=((0, 0), (0, 0))):
+        return lax.conv_general_dilated(
+            x_, w.astype(x_.dtype),
+            window_strides=(stride, stride),
+            padding=pad,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=groups,
+        )
+
+    if up > 1:
+        px0 += (fw + up - 1) // 2
+        px1 += (fw - up) // 2
+        py0 += (fh + up - 1) // 2
+        py1 += (fh - up) // 2
+        x = upfirdn2d(x, f, up=up, padding=(px0, px1, py0, py1), gain=up * up)
+        x = conv(x)
+        if down > 1:
+            x = upfirdn2d(x, f, down=down)
+        return x
+
+    if down > 1:
+        px0 += (fw - down + 1) // 2
+        px1 += (fw - down) // 2
+        py0 += (fh - down + 1) // 2
+        py1 += (fh - down) // 2
+        x = upfirdn2d(x, f, padding=(px0, px1, py0, py1))
+        return conv(x, stride=down)
+
+    return conv(x, pad=((py0, py1), (px0, px1)))
