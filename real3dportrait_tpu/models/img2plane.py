@@ -1,0 +1,365 @@
+"""One-shot avatar models: image -> tri-plane -> rendered portrait.
+
+Functional Flax re-design of the reference model stack:
+
+* :class:`OSAvatarImg2Plane` — `modules/real3d/img2plane_baseline.py:80`:
+  img2plane backbone + OSGDecoder + volume renderer + SR head.
+* :class:`OSAvatarSECCImg2Plane` — `modules/real3d/secc_img2plane.py:24`:
+  adds the SECC-conditioned motion backbone whose residual plane is fused
+  with the canonical plane.
+
+The reference's stateful plane cache (``cache_backbone`` /
+``use_cached_backbone``, `secc_img2plane.py:93-112`) becomes explicit data
+flow: ``cal_cano_plane`` is a separate method, and ``synthesis`` accepts the
+precomputed plane — the inference pipeline jits the backbone once per video
+and feeds the cached plane into the per-frame step.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from real3dportrait_tpu.geometry.camera import unpack_camera
+from real3dportrait_tpu.models.decoder import OSGDecoder
+from real3dportrait_tpu.models.segformer import (
+    SegFormerImg2PlaneBackbone,
+    SegFormerSECC2PlaneBackbone,
+)
+from real3dportrait_tpu.models.superresolution import SuperresolutionHybrid8XDC
+from real3dportrait_tpu.rendering.ray_sampler import sample_rays
+from real3dportrait_tpu.rendering.renderer import (
+    RenderOptions,
+    render_rays,
+    run_model,
+)
+
+
+class OSAvatarImg2Plane(nn.Module):
+    """One-shot image -> canonical plane -> rendered image."""
+
+    triplane_hid_dim: int = 32
+    triplane_depth: int = 3
+    triplane_feature_type: str = "trigrid"  # triplane | trigrid
+    neural_rendering_resolution: int = 128
+    final_resolution: int = 512
+    backbone_scale: str = "b0"
+    w_dim: int = 512
+    sr_num_fp16_res: int = 4
+    sr_channel0: int = 256
+    sr_channel1: int = 128
+    num_samples_coarse: int = 48
+    num_samples_fine: int = 48
+    box_warp: float = 1.0
+    ray_near: Any = "auto"
+    ray_far: Any = "auto"
+
+    @property
+    def plane_channels(self) -> int:
+        return self.triplane_hid_dim * self.triplane_depth
+
+    @property
+    def render_options(self) -> RenderOptions:
+        return RenderOptions(
+            depth_resolution=self.num_samples_coarse,
+            depth_resolution_importance=self.num_samples_fine,
+            box_warp=self.box_warp,
+            ray_start=self.ray_near,
+            ray_end=self.ray_far,
+        )
+
+    def setup(self):
+        self.img2plane_backbone = SegFormerImg2PlaneBackbone(
+            scale=self.backbone_scale, plane_channels=self.plane_channels
+        )
+        self.decoder = OSGDecoder(hidden_dim=64, output_dim=self.triplane_hid_dim)
+        self.superresolution = SuperresolutionHybrid8XDC(
+            w_dim=self.w_dim,
+            sr_num_fp16_res=self.sr_num_fp16_res,
+            input_resolution=self.neural_rendering_resolution,
+            block0_channels=self.sr_channel0,
+            block1_channels=self.sr_channel1,
+            final_resolution=self.final_resolution,
+        )
+
+    def _to_render_layout(self, planes: jnp.ndarray) -> jnp.ndarray:
+        """[B,3,H,W,C*D] -> triplane [B,3,H,W,C] or trigrid [B,3,D,H,W,C]."""
+        if self.triplane_feature_type == "triplane":
+            return planes
+        b, k, h, w, cd = planes.shape
+        c, d = self.triplane_hid_dim, self.triplane_depth
+        planes = planes.reshape(b, k, h, w, c, d)
+        return jnp.moveaxis(planes, -1, 2)  # [B,3,D,H,W,C]
+
+    def cal_cano_plane(self, img: jnp.ndarray) -> jnp.ndarray:
+        """Source image [B,H,W,3] -> canonical plane in render layout."""
+        planes = self.img2plane_backbone(img)
+        return self._to_render_layout(planes)
+
+    def _decoder_fn(self):
+        return lambda feats, dirs: self.decoder(feats, dirs)
+
+    def render_planes(
+        self,
+        planes: jnp.ndarray,
+        camera: jnp.ndarray,
+        key: jax.Array | None = None,
+        noise_mode: str = "none",
+    ) -> dict:
+        """Volume-render planes under ``camera`` [B,25] + run SR."""
+        c2w, intrinsics = unpack_camera(camera)
+        res = self.neural_rendering_resolution
+        origins, dirs = sample_rays(c2w, intrinsics, res)
+        out = render_rays(
+            planes, self._decoder_fn(), origins, dirs, self.render_options, key=key
+        )
+        b = camera.shape[0]
+        feature_image = out["rgb"].reshape(b, res, res, -1)
+        depth_image = out["depth"].reshape(b, res, res, 1)
+        weights_image = out["weights_sum"].reshape(b, res, res, 1)
+
+        rgb_image = feature_image[..., :3]
+        ones_ws = jnp.ones((b, 14, self.w_dim), feature_image.dtype)
+        sr_image = self.superresolution(
+            rgb_image, feature_image, ones_ws, noise_mode=noise_mode
+        )
+        return {
+            "image": jnp.clip(sr_image, -1, 1),
+            "image_raw": jnp.clip(rgb_image, -1, 1),
+            "image_depth": depth_image,
+            "image_feature": feature_image[..., 3:],
+            "weights_img": weights_image,
+            "plane": planes,
+        }
+
+    def sample_points(self, planes: jnp.ndarray, coordinates: jnp.ndarray,
+                      directions: jnp.ndarray | None = None) -> dict:
+        """Decode {'rgb','sigma'} at arbitrary world coords (density reg / shapes)."""
+        return run_model(
+            planes, self._decoder_fn(), coordinates, directions, self.render_options
+        )
+
+    def synthesis(
+        self,
+        img: jnp.ndarray,
+        camera: jnp.ndarray,
+        planes: jnp.ndarray | None = None,
+        key: jax.Array | None = None,
+        noise_mode: str = "none",
+    ) -> dict:
+        if planes is None:
+            planes = self.cal_cano_plane(img)
+        return self.render_planes(planes, camera, key=key, noise_mode=noise_mode)
+
+    def __call__(self, img, camera, **kw) -> dict:
+        return self.synthesis(img, camera, **kw)
+
+
+class OSAvatarSECCImg2PlaneTorso(nn.Module):
+    """Head+torso+background model (`modules/real3d/secc_img2plane_torso.py:7`).
+
+    Same head pipeline as :class:`OSAvatarSECCImg2Plane` but the plain SR
+    head is replaced by the warp-based torso/background fusion SR
+    (``SuperresolutionHybrid8XDCWarp``); declared as a wrapper module so the
+    head sub-tree can be partially restored from a secc_img2plane checkpoint.
+    """
+
+    triplane_hid_dim: int = 32
+    triplane_depth: int = 3
+    triplane_feature_type: str = "trigrid"
+    neural_rendering_resolution: int = 128
+    final_resolution: int = 512
+    backbone_scale: str = "b0"
+    secc_segformer_scale: str = "b0"
+    pncc_cond_mode: str = "cano_src_tgt"
+    plane_fusion_mode: str = "add"
+    w_dim: int = 512
+    sr_num_fp16_res: int = 4
+    sr_channel0: int = 256
+    sr_channel1: int = 128
+    num_samples_coarse: int = 48
+    num_samples_fine: int = 48
+    box_warp: float = 1.0
+    ray_near: Any = "auto"
+    ray_far: Any = "auto"
+    torso_kp_num: int = 4
+    torso_scale: str = "standard"
+    fuse_mode: str = "v2"
+    head_threshold: float = 0.9
+    torso_version: str = "v2"
+
+    def setup(self):
+        from real3dportrait_tpu.models.sr_with_ref import SuperresolutionHybrid8XDCWarp
+        from real3dportrait_tpu.models.segformer import (
+            SegFormerImg2PlaneBackbone as _I2P,
+            SegFormerSECC2PlaneBackbone as _S2P,
+        )
+
+        plane_channels = self.triplane_hid_dim * self.triplane_depth
+        self.img2plane_backbone = _I2P(
+            scale=self.backbone_scale, plane_channels=plane_channels
+        )
+        self.secc_img2plane_backbone = _S2P(
+            scale=self.secc_segformer_scale,
+            plane_channels=plane_channels,
+            pncc_cond_mode=self.pncc_cond_mode,
+        )
+        self.decoder = OSGDecoder(hidden_dim=64, output_dim=self.triplane_hid_dim)
+        self.superresolution = SuperresolutionHybrid8XDCWarp(
+            w_dim=self.w_dim,
+            sr_num_fp16_res=self.sr_num_fp16_res,
+            input_resolution=self.neural_rendering_resolution,
+            mid_resolution=self.final_resolution // 2,
+            final_resolution=self.final_resolution,
+            block0_channels=self.sr_channel0,
+            block1_channels=self.sr_channel1,
+            torso_kp_num=self.torso_kp_num,
+            torso_scale=self.torso_scale,
+            fuse_mode=self.fuse_mode,
+            head_threshold=self.head_threshold,
+            torso_version=self.torso_version,
+        )
+
+    @property
+    def render_options(self) -> RenderOptions:
+        return RenderOptions(
+            depth_resolution=self.num_samples_coarse,
+            depth_resolution_importance=self.num_samples_fine,
+            box_warp=self.box_warp,
+            ray_start=self.ray_near,
+            ray_end=self.ray_far,
+        )
+
+    def _to_render_layout(self, planes: jnp.ndarray) -> jnp.ndarray:
+        if self.triplane_feature_type == "triplane":
+            return planes
+        b, k, h, w, cd = planes.shape
+        c, d = self.triplane_hid_dim, self.triplane_depth
+        planes = planes.reshape(b, k, h, w, c, d)
+        return jnp.moveaxis(planes, -1, 2)
+
+    def cal_cano_plane(self, img: jnp.ndarray) -> jnp.ndarray:
+        return self._to_render_layout(self.img2plane_backbone(img))
+
+    def cal_secc_plane(self, secc: jnp.ndarray) -> jnp.ndarray:
+        return self._to_render_layout(self.secc_img2plane_backbone(secc))
+
+    def cal_plane_given_cano(self, cano_plane, secc):
+        secc_plane = self.cal_secc_plane(secc)
+        if self.plane_fusion_mode == "add":
+            return cano_plane + secc_plane
+        return cano_plane * secc_plane
+
+    def synthesis(
+        self,
+        img: jnp.ndarray,
+        camera: jnp.ndarray,
+        cond: dict,
+        secc: jnp.ndarray | None = None,
+        cano_planes: jnp.ndarray | None = None,
+        key: jax.Array | None = None,
+        noise_mode: str = "none",
+    ) -> dict:
+        """``cond`` must carry ``ref_torso_img``, ``bg_img``, ``segmap``,
+        ``kp_src``, ``kp_drv`` (+optional ``target_torso_mask``)."""
+        if cano_planes is None:
+            cano_planes = self.cal_cano_plane(img)
+        planes = (
+            self.cal_plane_given_cano(cano_planes, secc)
+            if secc is not None
+            else cano_planes
+        )
+        c2w, intrinsics = unpack_camera(camera)
+        res = self.neural_rendering_resolution
+        origins, dirs = sample_rays(c2w, intrinsics, res)
+        out = render_rays(
+            planes, lambda f, d: self.decoder(f, d), origins, dirs,
+            self.render_options, key=key,
+        )
+        b = camera.shape[0]
+        feature_image = out["rgb"].reshape(b, res, res, -1)
+        depth_image = out["depth"].reshape(b, res, res, 1)
+        weights_image = out["weights_sum"].reshape(b, res, res, 1)
+        rgb_image = feature_image[..., :3]
+        ones_ws = jnp.ones((b, 14, self.w_dim), feature_image.dtype)
+
+        sr_image, torso_ret = self.superresolution(
+            rgb_image, feature_image, ones_ws,
+            ref_torso_rgb=cond["ref_torso_img"],
+            ref_bg_rgb=cond["bg_img"],
+            weights_img=weights_image,
+            segmap=cond["segmap"],
+            kp_s=cond["kp_src"],
+            kp_d=cond["kp_drv"],
+            target_torso_mask=cond.get("target_torso_mask"),
+            noise_mode=noise_mode,
+        )
+        return {
+            "image": jnp.clip(sr_image, -1, 1),
+            "image_raw": jnp.clip(rgb_image, -1, 1),
+            "image_depth": depth_image,
+            "image_feature": feature_image[..., 3:],
+            "weights_img": weights_image,
+            "plane": planes,
+            "cano_plane": cano_planes,
+            "torso_ret": {k: v for k, v in torso_ret.items() if k != "losses"},
+            "facev2v_losses": torso_ret["losses"],
+        }
+
+    def __call__(self, img, camera, cond, secc=None, **kw) -> dict:
+        return self.synthesis(img, camera, cond, secc=secc, **kw)
+
+
+class OSAvatarSECCImg2Plane(OSAvatarImg2Plane):
+    """Adds SECC motion conditioning (`modules/real3d/secc_img2plane.py:24`)."""
+
+    pncc_cond_mode: str = "cano_src_tgt"  # cano_src_tgt | cano_tgt
+    secc_segformer_scale: str = "b0"
+    plane_fusion_mode: str = "add"  # add | mul
+
+    def setup(self):
+        super().setup()
+        self.secc_img2plane_backbone = SegFormerSECC2PlaneBackbone(
+            scale=self.secc_segformer_scale,
+            plane_channels=self.plane_channels,
+            pncc_cond_mode=self.pncc_cond_mode,
+        )
+
+    def cal_secc_plane(self, secc: jnp.ndarray) -> jnp.ndarray:
+        """SECC condition maps [B,H,W,6|9] -> motion residual plane."""
+        planes = self.secc_img2plane_backbone(secc)
+        return self._to_render_layout(planes)
+
+    def cal_plane_given_cano(self, cano_plane: jnp.ndarray, secc: jnp.ndarray) -> jnp.ndarray:
+        """Fuse cached canonical plane with per-frame SECC plane
+        (`secc_img2plane.py:73`)."""
+        secc_plane = self.cal_secc_plane(secc)
+        if self.plane_fusion_mode == "add":
+            return cano_plane + secc_plane
+        return cano_plane * secc_plane
+
+    def synthesis(
+        self,
+        img: jnp.ndarray,
+        camera: jnp.ndarray,
+        secc: jnp.ndarray | None = None,
+        cano_planes: jnp.ndarray | None = None,
+        key: jax.Array | None = None,
+        noise_mode: str = "none",
+    ) -> dict:
+        if cano_planes is None:
+            cano_planes = self.cal_cano_plane(img)
+        planes = (
+            self.cal_plane_given_cano(cano_planes, secc)
+            if secc is not None
+            else cano_planes
+        )
+        out = self.render_planes(planes, camera, key=key, noise_mode=noise_mode)
+        out["cano_plane"] = cano_planes
+        return out
+
+    def __call__(self, img, camera, secc=None, **kw) -> dict:
+        return self.synthesis(img, camera, secc=secc, **kw)

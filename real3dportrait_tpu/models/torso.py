@@ -1,0 +1,471 @@
+"""Keypoint-driven warp-based torso model (face-vid2vid style).
+
+TPU-native Flax redesign of `modules/real3d/facev2v_warp/{network,model,
+layers,func_utils}.py`:
+
+* layout is channels-last everywhere ([B,D,H,W,C] for 3D feature volumes);
+* SyncBatchNorm/InstanceNorm become GroupNorm (no cross-device batch stats
+  on a mesh; SURVEY.md §5);
+* the gradient scale 0.1 applied to the motion-field outputs
+  (`model.py:241-247`) is expressed with ``stop_gradient`` mixing;
+* the warp itself is the shared trilinear `grid_sample_3d` with
+  align_corners=True / border padding, matching torch semantics.
+
+Components: AppearanceFeatureExtractor (2D conv pyramid -> 3D feature
+volume), MotionFieldEstimator (K keypoint-gaussian volumes -> dense
+deformation + 2 occlusion maps), occlusion-aware Generator, patch
+Discriminator, and the `WarpBasedTorsoModel` wrapper driven by a subset of
+the 68 2D landmarks.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from real3dportrait_tpu.ops.grid_sample import grid_sample_2d, grid_sample_3d
+
+
+def _gn(c: int) -> int:
+    """GroupNorm group count: 8 channels/group, at least 1 group."""
+    for g in (min(32, c), 16, 8, 4, 2, 1):
+        if c % g == 0:
+            return g
+    return 1
+
+
+class ConvBlock2D(nn.Module):
+    """conv -> norm -> activation (pattern 'CNA' of `layers.py:_ConvBlock`)."""
+
+    out_channels: int
+    kernel: int = 3
+    stride: int = 1
+    pattern: str = "CNA"
+    lrelu: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        for op in self.pattern:
+            if op == "C":
+                x = nn.Conv(self.out_channels, (self.kernel, self.kernel),
+                            strides=self.stride, padding=self.kernel // 2)(x)
+            elif op == "N":
+                x = nn.GroupNorm(num_groups=_gn(x.shape[-1]))(x)
+            elif op == "A":
+                x = nn.leaky_relu(x, 0.2) if self.lrelu else nn.relu(x)
+        return x
+
+
+class ConvBlock3D(nn.Module):
+    out_channels: int
+    kernel: int = 3
+    stride: int = 1
+    pattern: str = "CNA"
+    lrelu: bool = False
+
+    @nn.compact
+    def __call__(self, x):  # [B,D,H,W,C]
+        for op in self.pattern:
+            if op == "C":
+                x = nn.Conv(self.out_channels, (self.kernel,) * 3,
+                            strides=self.stride, padding=self.kernel // 2)(x)
+            elif op == "N":
+                x = nn.GroupNorm(num_groups=_gn(x.shape[-1]))(x)
+            elif op == "A":
+                x = nn.leaky_relu(x, 0.2) if self.lrelu else nn.relu(x)
+        return x
+
+
+def avg_pool_2d(x):  # halve H,W of [B,H,W,C]
+    return nn.avg_pool(x, (2, 2), strides=(2, 2))
+
+
+def avg_pool_3d_hw(x):  # halve H,W of [B,D,H,W,C], keep D
+    return nn.avg_pool(x, (1, 2, 2), strides=(1, 2, 2))
+
+
+def upsample_2d(x):
+    b, h, w, c = x.shape
+    return jax.image.resize(x, (b, 2 * h, 2 * w, c), "nearest")
+
+
+def upsample_3d_hw(x):
+    b, d, h, w, c = x.shape
+    return jax.image.resize(x, (b, d, 2 * h, 2 * w, c), "nearest")
+
+
+class ResBlock2D(nn.Module):
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        y = ConvBlock2D(c, pattern="NAC")(x)
+        y = ConvBlock2D(c, pattern="NAC")(y)
+        return x + y
+
+
+class ResBlock3D(nn.Module):
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        y = ConvBlock3D(c, pattern="NAC")(x)
+        y = ConvBlock3D(c, pattern="NAC")(y)
+        return x + y
+
+
+# ---------------------------------------------------------------------------
+# keypoint/volume helpers (`func_utils.py`)
+# ---------------------------------------------------------------------------
+
+
+def make_coordinate_grid_3d(d: int, h: int, w: int) -> jnp.ndarray:
+    """[-1,1]³ grid, (x, y, z) ordering -> [D,H,W,3] (`func_utils.py:96`)."""
+    z = 2 * (jnp.arange(d) / (d - 1)) - 1
+    y = 2 * (jnp.arange(h) / (h - 1)) - 1
+    x = 2 * (jnp.arange(w) / (w - 1)) - 1
+    zz, yy, xx = jnp.meshgrid(z, y, x, indexing="ij")
+    return jnp.stack([xx, yy, zz], axis=-1).astype(jnp.float32)
+
+
+def make_coordinate_grid_2d(h: int, w: int) -> jnp.ndarray:
+    y = 2 * (jnp.arange(h) / (h - 1)) - 1
+    x = 2 * (jnp.arange(w) / (w - 1)) - 1
+    yy, xx = jnp.meshgrid(y, x, indexing="ij")
+    return jnp.stack([xx, yy], axis=-1).astype(jnp.float32)
+
+
+def kp2gaussian_3d(kp: jnp.ndarray, d: int, h: int, w: int,
+                   kp_variance: float = 0.01) -> jnp.ndarray:
+    """kp [B,K,3] in [-1,1] -> gaussian volumes [B,K,D,H,W]."""
+    grid = make_coordinate_grid_3d(d, h, w)  # [D,H,W,3]
+    diff = grid[None, None] - kp[:, :, None, None, None, :]
+    return jnp.exp(-0.5 * jnp.sum(diff**2, axis=-1) / kp_variance)
+
+
+def kp2gaussian_2d(kp: jnp.ndarray, h: int, w: int,
+                   kp_variance: float = 0.01) -> jnp.ndarray:
+    """kp [B,K,2] -> [B,K,H,W]."""
+    grid = make_coordinate_grid_2d(h, w)
+    diff = grid[None, None] - kp[:, :, None, None, :]
+    return jnp.exp(-0.5 * jnp.sum(diff**2, axis=-1) / kp_variance)
+
+
+def create_sparse_motions(kp_s: jnp.ndarray, kp_d: jnp.ndarray,
+                          d: int, h: int, w: int) -> jnp.ndarray:
+    """[B,K,3] src/drv keypoints -> [B,K+1,D,H,W,3] candidate back-warps.
+
+    Identity rotation variant of `func_utils.py:152` (the torso wrapper
+    always passes Rs = Rd = I, `model.py:239`).
+    """
+    b, k, _ = kp_s.shape
+    identity = jnp.broadcast_to(make_coordinate_grid_3d(d, h, w)[None, None],
+                                (b, 1, d, h, w, 3))
+    grid = identity  # [B,1,D,H,W,3]
+    driving_to_source = (
+        grid - kp_d[:, :, None, None, None, :] + kp_s[:, :, None, None, None, :]
+    )
+    return jnp.concatenate([identity, driving_to_source], axis=1)
+
+
+def create_deformed_source_image(fs: jnp.ndarray, sparse_motions: jnp.ndarray):
+    """fs [B,D,H,W,C], motions [B,K+1,D,H,W,3] -> [B,K+1,D,H,W,C]."""
+    b, d, h, w, c = fs.shape
+    k1 = sparse_motions.shape[1]
+    fs_rep = jnp.repeat(fs[:, None], k1, axis=1).reshape(b * k1, d, h, w, c)
+    coords = sparse_motions.reshape(b * k1, -1, 3)
+    warped = grid_sample_3d(fs_rep, coords, align_corners=True, padding_mode="zeros")
+    return warped.reshape(b, k1, d, h, w, c)
+
+
+def dilate_mask(mask: jnp.ndarray, ksize: int = 7) -> jnp.ndarray:
+    """Max-pool dilation of [B,H,W,1] masks (`func_utils.py:dilate`)."""
+    pad = ksize // 2
+    return jax.lax.reduce_window(
+        mask, -jnp.inf, jax.lax.max, (1, ksize, ksize, 1), (1, 1, 1, 1),
+        [(0, 0), (pad, pad), (pad, pad), (0, 0)],
+    )
+
+
+# ---------------------------------------------------------------------------
+# networks (`network.py`)
+# ---------------------------------------------------------------------------
+
+
+class AppearanceFeatureExtractor(nn.Module):
+    """Image [B,256,256,3] -> 3D appearance volume [B,D=16,64,64,C=32]
+    (`network.py:17`)."""
+
+    feat_channels: int = 32
+    depth: int = 16
+    down_seq: Sequence[int] = (64, 128, 256)
+    n_res: int = 6
+
+    @nn.compact
+    def __call__(self, x):
+        x = ConvBlock2D(self.down_seq[0], kernel=7)(x)
+        for ch in self.down_seq[1:]:
+            x = avg_pool_2d(ConvBlock2D(ch)(x))
+        x = nn.Conv(self.feat_channels * self.depth, (1, 1))(x)
+        b, h, w, _ = x.shape
+        # channel-major split (C,D) matching reference view(N, C, D, H, W)
+        x = x.reshape(b, h, w, self.feat_channels, self.depth)
+        x = jnp.transpose(x, (0, 4, 1, 2, 3))  # [B,D,H,W,C]
+        for _ in range(self.n_res):
+            x = ResBlock3D()(x)
+        return x
+
+
+class MotionFieldEstimator(nn.Module):
+    """Keypoint volumes -> dense deformation + occlusion maps
+    (`network.py:163`, model_scale='small')."""
+
+    num_keypoints: int = 4
+    compress_channels: int = 4
+    down_seq: Sequence[int] = (32, 64, 128, 256, 512)
+    up_seq: Sequence[int] = (512, 256, 128, 64, 32, 16)
+
+    @nn.compact
+    def __call__(self, fs: jnp.ndarray, kp_s: jnp.ndarray, kp_d: jnp.ndarray):
+        """fs [B,D,H,W,C]; kp_* [B,K,3]. Returns (deformation [B,D,H,W,3],
+        occlusion [B,H,W,1], occlusion_2 [B,H,W,1])."""
+        b, d, h, w, c = fs.shape
+        k = self.num_keypoints
+
+        fs_compressed = nn.Conv(self.compress_channels, (1, 1, 1), name="compress")(fs)
+
+        heat_s = kp2gaussian_3d(kp_s, d, h, w)
+        heat_d = kp2gaussian_3d(kp_d, d, h, w)
+        heatmap = heat_d - heat_s  # [B,K,D,H,W]
+        heatmap = jnp.concatenate([jnp.zeros_like(heatmap[:, :1]), heatmap], axis=1)
+
+        sparse_motion = create_sparse_motions(kp_s, kp_d, d, h, w)  # [B,K+1,D,H,W,3]
+        deformed = create_deformed_source_image(fs_compressed, sparse_motion)
+
+        # [B,K+1,D,H,W,1+C2] -> [B,D,H,W,(K+1)*(1+C2)]
+        inp = jnp.concatenate([heatmap[..., None], deformed], axis=-1)
+        inp = jnp.transpose(inp, (0, 2, 3, 4, 1, 5)).reshape(
+            b, d, h, w, (k + 1) * (1 + self.compress_channels)
+        )
+
+        x = inp
+        skips = []
+        for ch in self.down_seq:
+            x = ConvBlock3D(ch)(x)
+            x = avg_pool_3d_hw(x)
+        for ch in self.up_seq[1:]:
+            x = upsample_3d_hw(x)
+            x = ConvBlock3D(ch)(x)
+        x = jnp.concatenate([inp, x], axis=-1)
+
+        mask = nn.Conv(k + 1, (7, 7, 7), padding=3, name="mask_conv")(x)
+        mask = jax.nn.softmax(mask, axis=-1)  # over K+1 candidates
+        mask = jnp.moveaxis(mask, -1, 1)[..., None]  # [B,K+1,D,H,W,1]
+        deformation = jnp.sum(sparse_motion * mask, axis=1)  # [B,D,H,W,3]
+
+        x2d = jnp.transpose(x, (0, 2, 3, 1, 4)).reshape(b, h, w, -1)
+        occlusion = jax.nn.sigmoid(
+            nn.Conv(1, (7, 7), padding=3, name="occlusion_conv")(x2d)
+        )
+        occlusion_2 = jax.nn.sigmoid(
+            nn.Conv(1, (7, 7), padding=3, name="occlusion_conv2")(x2d)
+        )
+        return deformation, occlusion, occlusion_2
+
+
+class WarpGenerator(nn.Module):
+    """Deformed appearance volume -> torso RGB + hidden features
+    (`network.py:240`)."""
+
+    up_seq: Sequence[int] = (256, 128, 64)
+    n_res: int = 6
+
+    @nn.compact
+    def __call__(self, fs: jnp.ndarray, deformation: jnp.ndarray):
+        """fs [B,D,H,W,C], deformation [B,D,H,W,3] -> (rgb [B,4H,4W,3],
+        hid [B,4H,4W,up_seq[-1]])."""
+        b, d, h, w, c = fs.shape
+        coords = deformation.reshape(b, -1, 3)
+        warped = grid_sample_3d(fs, coords, align_corners=True,
+                                padding_mode="border").reshape(b, d, h, w, c)
+        # collapse depth into channels: [B,H,W,C*D] (reference view(N,-1,H,W)
+        # from NCDHW flattens C-major, D-minor)
+        x = jnp.transpose(warped, (0, 2, 3, 4, 1)).reshape(b, h, w, c * d)
+        x = ConvBlock2D(self.up_seq[0], lrelu=True)(x)
+        x = nn.Conv(self.up_seq[0], (1, 1), name="mid_conv")(x)
+        for _ in range(self.n_res):
+            x = ResBlock2D()(x)
+        for ch in self.up_seq[1:]:
+            x = upsample_2d(x)
+            x = ConvBlock2D(ch)(x)
+        rgb = nn.Conv(3, (7, 7), padding=3, name="out_conv")(x)
+        return rgb, x
+
+
+class PatchDiscriminator(nn.Module):
+    """Patch discriminator over (img, kp heatmap) (`network.py:301`)."""
+
+    down_seq: Sequence[int] = (64, 128, 256, 512)
+    num_keypoints: int = 4
+
+    @nn.compact
+    def __call__(self, img: jnp.ndarray, kp: jnp.ndarray):
+        heat = kp2gaussian_2d(jax.lax.stop_gradient(kp[..., :2]),
+                              img.shape[1], img.shape[2])
+        x = jnp.concatenate([img, jnp.moveaxis(heat, 1, -1)], axis=-1)
+        feats = []
+        for i, ch in enumerate(self.down_seq):
+            stride = 2 if i < len(self.down_seq) - 1 else 1
+            x = ConvBlock2D(ch, stride=stride, lrelu=True)(x)
+            feats.append(x)
+        out = ConvBlock2D(1, pattern="CN")(x)
+        return out, feats
+
+
+# architecture presets matching the reference model_scale choices
+# (`network.py`: 'standard'/'small'), plus a tiny preset for smoke tests.
+TORSO_PRESETS: dict[str, dict] = {
+    "standard": dict(
+        feat_channels=32, depth=16, app_down_seq=(64, 128, 256), app_n_res=6,
+        motion_down_seq=(64, 128, 256, 512, 1024),
+        motion_up_seq=(1024, 512, 256, 128, 64, 32),
+        gen_up_seq=(256, 128, 64), gen_n_res=6,
+    ),
+    "small": dict(
+        feat_channels=32, depth=16, app_down_seq=(32, 64, 128), app_n_res=4,
+        motion_down_seq=(32, 64, 128, 256, 512),
+        motion_up_seq=(512, 256, 128, 64, 32, 16),
+        gen_up_seq=(256, 128, 64), gen_n_res=6,
+    ),
+    "tiny": dict(
+        feat_channels=4, depth=2, app_down_seq=(8, 16), app_n_res=1,
+        motion_down_seq=(8, 16), motion_up_seq=(16, 16, 8),
+        gen_up_seq=(16, 8), gen_n_res=1,
+    ),
+}
+
+
+class WarpBasedTorsoModel(nn.Module):
+    """Full torso pipeline (`model.py:198`, WarpBasedTorsoModelMediaPipe).
+
+    Drives the torso with ``torso_kp_num`` of the 68 2D landmarks; the
+    motion-field branch receives 0.1-scaled gradients.
+    """
+
+    torso_kp_num: int = 4
+    scale: str = "standard"
+    grad_scale: float = 0.1
+
+    KP_SUBSETS = {4: (0, 8, 16, 27), 9: (0, 3, 6, 8, 10, 13, 16, 27, 33)}
+
+    @nn.compact
+    def __call__(
+        self,
+        torso_src_img: jnp.ndarray,   # [B,256,256,3]
+        segmap: jnp.ndarray,          # [B,H,W,6] one-hot segmentation
+        kp_s: jnp.ndarray,            # [B,68,3] in [-1,1]
+        kp_d: jnp.ndarray,            # [B,68,3]
+        tgt_head_img: jnp.ndarray | None = None,      # [B,h,w,3] v2 cond
+        tgt_head_weights: jnp.ndarray | None = None,  # [B,h,w,1] v2 cond
+        target_torso_mask: jnp.ndarray | None = None,  # [B,H,W] bool
+    ) -> dict:
+        arch = TORSO_PRESETS[self.scale]
+        feats = AppearanceFeatureExtractor(
+            arch["feat_channels"], arch["depth"],
+            down_seq=arch["app_down_seq"], n_res=arch["app_n_res"],
+            name="appearance_extractor",
+        )(torso_src_img)
+        b, d, h, w, c = feats.shape
+
+        # torso mask from segmap channels 2 (neck) and 4 (torso)
+        torso_seg = jax.image.resize(
+            segmap[..., (2, 4)], (b, h, w, 2), "bilinear"
+        )
+        torso_mask = dilate_mask(jnp.sum(torso_seg, axis=-1, keepdims=True))
+        feats = feats * torso_mask[:, None, :, :, :]
+
+        seg_vol = jnp.repeat(torso_seg[:, None], d, axis=1)  # [B,D,H,W,2]
+        motion_inp = jnp.concatenate([feats, seg_vol], axis=-1)
+        if tgt_head_img is not None:
+            # v2 (`facev2v_warp/model2.py:224`): condition the motion field on
+            # the rendered target head and its alpha weights
+            head_cond = jnp.concatenate(
+                [
+                    jax.image.resize(tgt_head_img, (b, h, w, 3), "bilinear"),
+                    jax.image.resize(tgt_head_weights, (b, h, w, 1), "bilinear")
+                    if tgt_head_weights is not None
+                    else jnp.zeros((b, h, w, 1)),
+                ],
+                axis=-1,
+            )
+            head_vol = jnp.repeat(
+                jax.lax.stop_gradient(head_cond)[:, None], d, axis=1
+            )
+            motion_inp = jnp.concatenate([motion_inp, head_vol], axis=-1)
+
+        subset = jnp.array(self.KP_SUBSETS[self.torso_kp_num])
+        kps = kp_s[:, subset]
+        kpd = kp_d[:, subset]
+
+        deformation, occlusion, occlusion_2 = MotionFieldEstimator(
+            num_keypoints=self.torso_kp_num,
+            down_seq=arch["motion_down_seq"], up_seq=arch["motion_up_seq"],
+            name="motion_field_estimator",
+        )(motion_inp, kps, kpd)
+
+        def scale_grad(t):
+            return t * self.grad_scale + jax.lax.stop_gradient(t) * (1 - self.grad_scale)
+
+        deformation = scale_grad(deformation)
+        occlusion = scale_grad(occlusion)
+        occlusion_2 = scale_grad(occlusion_2)
+
+        rgb, hid = WarpGenerator(
+            up_seq=arch["gen_up_seq"], n_res=arch["gen_n_res"],
+            name="deform_based_generator",
+        )(feats, deformation)
+
+        occ2_up = jax.image.resize(
+            occlusion_2, (b, hid.shape[1], hid.shape[2], 1), "bilinear"
+        )
+        occ2 = nn.Sequential([
+            nn.Conv(32, (3, 3), padding=1), nn.relu,
+            nn.Conv(32, (3, 3), padding=1), nn.relu,
+            nn.Conv(1, (3, 3), padding=1), jax.nn.sigmoid,
+        ], name="occlusion_2_predictor")(jnp.concatenate([hid, occ2_up], axis=-1))
+
+        alphas = jnp.clip(occ2, 1e-5, 1 - 1e-5)
+        if target_torso_mask is None:
+            occ_reg = jnp.mean(occlusion)
+            occ2_reg = jnp.mean(occ2)
+        else:
+            # penalize occlusion outside the target torso more than inside
+            # (`model.py:masked_l1_reg_loss`, unmask factor from config)
+            def masked_reg(occ, unmask_w=0.3):
+                bm, hm, wm = occ.shape[0], occ.shape[1], occ.shape[2]
+                non_tgt = jax.image.resize(
+                    1.0 - target_torso_mask.astype(jnp.float32)[..., None],
+                    (bm, hm, wm, 1), "nearest",
+                )
+                weights = non_tgt * 1.0 + (1.0 - non_tgt) * unmask_w
+                return jnp.mean(jnp.abs(occ) * weights)
+
+            occ_reg = masked_reg(occlusion)
+            occ2_reg = masked_reg(occ2)
+        losses = {
+            "facev2v/occlusion_reg_l1": occ_reg,
+            "facev2v/occlusion_2_reg_l1": occ2_reg,
+            "facev2v/occlusion_2_weights_entropy": jnp.mean(
+                -alphas * jnp.log2(alphas) - (1 - alphas) * jnp.log2(1 - alphas)
+            ),
+        }
+        return {
+            "deformed_torso_img": rgb,
+            "deformed_torso_hid": hid,
+            "occlusion": occlusion,
+            "occlusion_2": occ2,
+            "kp_src": kps,
+            "kp_drv": kpd,
+            "losses": losses,
+        }

@@ -17,8 +17,10 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 
-def _unnormalize(coord: jnp.ndarray, size: int) -> jnp.ndarray:
-    """align_corners=False: [-1,1] -> pixel coordinate in [-0.5, size-0.5]."""
+def _unnormalize(coord: jnp.ndarray, size: int, align_corners: bool = False) -> jnp.ndarray:
+    """[-1,1] -> pixel coordinate (torch grid_sample conventions)."""
+    if align_corners:
+        return (coord + 1.0) / 2.0 * (size - 1)
     return ((coord + 1.0) * size - 1.0) / 2.0
 
 
@@ -30,11 +32,16 @@ def _gather_2d(img: jnp.ndarray, ix: jnp.ndarray, iy: jnp.ndarray) -> jnp.ndarra
     return jnp.take_along_axis(flat, idx[..., None], axis=1)
 
 
-def grid_sample_2d(features: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray:
+def grid_sample_2d(
+    features: jnp.ndarray,
+    coords: jnp.ndarray,
+    align_corners: bool = False,
+    padding_mode: str = "zeros",
+) -> jnp.ndarray:
     """Bilinear sample. features [B,H,W,C], coords [B,M,2] in [-1,1] -> [B,M,C]."""
     b, h, w, c = features.shape
-    x = _unnormalize(coords[..., 0], w)
-    y = _unnormalize(coords[..., 1], h)
+    x = _unnormalize(coords[..., 0], w, align_corners)
+    y = _unnormalize(coords[..., 1], h, align_corners)
 
     x0 = jnp.floor(x)
     y0 = jnp.floor(y)
@@ -45,11 +52,13 @@ def grid_sample_2d(features: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray:
     wy0 = 1.0 - wy1
 
     def corner(xi, yi, wgt):
-        inside = (xi >= 0) & (xi <= w - 1) & (yi >= 0) & (yi <= h - 1)
         xi_c = jnp.clip(xi, 0, w - 1).astype(jnp.int32)
         yi_c = jnp.clip(yi, 0, h - 1).astype(jnp.int32)
         v = _gather_2d(features, xi_c, yi_c)
-        return v * (wgt * inside)[..., None]
+        if padding_mode == "zeros":
+            inside = (xi >= 0) & (xi <= w - 1) & (yi >= 0) & (yi <= h - 1)
+            wgt = wgt * inside
+        return v * wgt[..., None]
 
     return (
         corner(x0, y0, wx0 * wy0)
@@ -59,12 +68,17 @@ def grid_sample_2d(features: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray:
     )
 
 
-def grid_sample_3d(features: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray:
+def grid_sample_3d(
+    features: jnp.ndarray,
+    coords: jnp.ndarray,
+    align_corners: bool = False,
+    padding_mode: str = "zeros",
+) -> jnp.ndarray:
     """Trilinear sample. features [B,D,H,W,C], coords [B,M,3] (x,y,z) -> [B,M,C]."""
     b, d, h, w, c = features.shape
-    x = _unnormalize(coords[..., 0], w)
-    y = _unnormalize(coords[..., 1], h)
-    z = _unnormalize(coords[..., 2], d)
+    x = _unnormalize(coords[..., 0], w, align_corners)
+    y = _unnormalize(coords[..., 1], h, align_corners)
+    z = _unnormalize(coords[..., 2], d, align_corners)
 
     x0, y0, z0 = jnp.floor(x), jnp.floor(y), jnp.floor(z)
     wx1, wy1, wz1 = x - x0, y - y0, z - z0
@@ -73,15 +87,18 @@ def grid_sample_3d(features: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray:
     flat = features.reshape(b, d * h * w, c)
 
     def corner(xi, yi, zi, wgt):
-        inside = (
-            (xi >= 0) & (xi <= w - 1) & (yi >= 0) & (yi <= h - 1) & (zi >= 0) & (zi <= d - 1)
-        )
         xi_c = jnp.clip(xi, 0, w - 1).astype(jnp.int32)
         yi_c = jnp.clip(yi, 0, h - 1).astype(jnp.int32)
         zi_c = jnp.clip(zi, 0, d - 1).astype(jnp.int32)
         idx = (zi_c * h + yi_c) * w + xi_c
         v = jnp.take_along_axis(flat, idx[..., None], axis=1)
-        return v * (wgt * inside)[..., None]
+        if padding_mode == "zeros":
+            inside = (
+                (xi >= 0) & (xi <= w - 1) & (yi >= 0) & (yi <= h - 1)
+                & (zi >= 0) & (zi <= d - 1)
+            )
+            wgt = wgt * inside
+        return v * wgt[..., None]
 
     out = 0.0
     for zi, wz in ((z0, wz0), (z0 + 1, wz1)):

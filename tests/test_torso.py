@@ -1,0 +1,159 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from real3dportrait_tpu.geometry import fov_to_intrinsics, lookat_pose, pack_camera
+from real3dportrait_tpu.models.img2plane import OSAvatarSECCImg2PlaneTorso
+from real3dportrait_tpu.models.sr_with_ref import SuperresolutionHybrid8XDCWarp
+from real3dportrait_tpu.models.torso import (
+    WarpBasedTorsoModel,
+    create_sparse_motions,
+    kp2gaussian_3d,
+    make_coordinate_grid_3d,
+)
+
+
+def test_coordinate_grid_3d_convention():
+    g = make_coordinate_grid_3d(2, 3, 4)
+    assert g.shape == (2, 3, 4, 3)
+    # x varies along W (last spatial axis), y along H, z along D
+    np.testing.assert_allclose(g[0, 0, :, 0], np.linspace(-1, 1, 4), atol=1e-6)
+    np.testing.assert_allclose(g[0, :, 0, 1], np.linspace(-1, 1, 3), atol=1e-6)
+    np.testing.assert_allclose(g[:, 0, 0, 2], np.linspace(-1, 1, 2), atol=1e-6)
+
+
+def test_kp2gaussian_peak_at_kp():
+    kp = jnp.array([[[0.0, 0.0, 0.0]]])  # center
+    vol = kp2gaussian_3d(kp, 5, 5, 5)
+    assert vol.shape == (1, 1, 5, 5, 5)
+    idx = np.unravel_index(np.argmax(np.asarray(vol[0, 0])), (5, 5, 5))
+    assert idx == (2, 2, 2)
+
+
+def test_sparse_motions_identity_when_kp_equal():
+    kp = jax.random.uniform(jax.random.PRNGKey(0), (1, 4, 3), minval=-0.5, maxval=0.5)
+    motions = create_sparse_motions(kp, kp, 2, 4, 4)
+    assert motions.shape == (1, 5, 2, 4, 4, 3)
+    # kp_s == kp_d -> every candidate warp equals the identity grid
+    for k in range(5):
+        np.testing.assert_allclose(
+            np.asarray(motions[:, k]), np.asarray(motions[:, 0]), atol=1e-6
+        )
+
+
+@pytest.fixture(scope="module")
+def torso_inputs():
+    key = jax.random.PRNGKey(0)
+    img = jax.random.uniform(key, (1, 32, 32, 3), minval=-1, maxval=1)
+    segmap = jax.nn.one_hot(
+        jax.random.randint(jax.random.PRNGKey(1), (1, 32, 32), 0, 6), 6
+    )
+    kp_s = jax.random.uniform(jax.random.PRNGKey(2), (1, 68, 3), minval=-0.8, maxval=0.8)
+    kp_d = kp_s + 0.05
+    return img, segmap, kp_s, kp_d
+
+
+def test_warp_torso_model_tiny(torso_inputs):
+    img, segmap, kp_s, kp_d = torso_inputs
+    model = WarpBasedTorsoModel(torso_kp_num=4, scale="tiny")
+    variables = model.init(jax.random.PRNGKey(0), img, segmap, kp_s, kp_d)
+    out = model.apply(variables, img, segmap, kp_s, kp_d)
+    assert out["deformed_torso_img"].shape == (1, 32, 32, 3)
+    assert out["occlusion_2"].shape == (1, 32, 32, 1)
+    assert set(out["losses"]) == {
+        "facev2v/occlusion_reg_l1",
+        "facev2v/occlusion_2_reg_l1",
+        "facev2v/occlusion_2_weights_entropy",
+    }
+    assert all(bool(jnp.isfinite(v)) for v in out["losses"].values())
+    # occlusions are valid probabilities
+    assert float(out["occlusion_2"].min()) >= 0 and float(out["occlusion_2"].max()) <= 1
+
+
+def test_warp_torso_v2_conditioning(torso_inputs):
+    img, segmap, kp_s, kp_d = torso_inputs
+    model = WarpBasedTorsoModel(torso_kp_num=4, scale="tiny")
+    head = jnp.zeros((1, 16, 16, 3))
+    weights = jnp.ones((1, 16, 16, 1)) * 0.5
+    variables = model.init(
+        jax.random.PRNGKey(0), img, segmap, kp_s, kp_d,
+        tgt_head_img=head, tgt_head_weights=weights,
+    )
+    out = model.apply(variables, img, segmap, kp_s, kp_d,
+                      tgt_head_img=head, tgt_head_weights=weights)
+    assert out["deformed_torso_img"].shape == (1, 32, 32, 3)
+
+
+def test_warp_torso_masked_reg(torso_inputs):
+    img, segmap, kp_s, kp_d = torso_inputs
+    model = WarpBasedTorsoModel(torso_kp_num=4, scale="tiny")
+    mask = jnp.zeros((1, 32, 32), bool)
+    variables = model.init(jax.random.PRNGKey(0), img, segmap, kp_s, kp_d,
+                           target_torso_mask=mask)
+    out = model.apply(variables, img, segmap, kp_s, kp_d, target_torso_mask=mask)
+    assert bool(jnp.isfinite(out["losses"]["facev2v/occlusion_reg_l1"]))
+
+
+def test_sr_warp_fusion_tiny():
+    b, r = 1, 8  # raw render 8 -> mid 16 -> final 32
+    sr = SuperresolutionHybrid8XDCWarp(
+        w_dim=16, sr_num_fp16_res=0, input_resolution=8, mid_resolution=16,
+        final_resolution=32, block0_channels=16, block1_channels=8,
+        torso_scale="tiny", torso_kp_num=4,
+    )
+    rgb = jax.random.uniform(jax.random.PRNGKey(0), (b, r, r, 3), minval=-1, maxval=1)
+    feat = jax.random.normal(jax.random.PRNGKey(1), (b, r, r, 8))
+    ws = jnp.ones((b, 1, 16))
+    torso_img = jax.random.uniform(jax.random.PRNGKey(2), (b, 32, 32, 3))
+    bg_img = jax.random.uniform(jax.random.PRNGKey(3), (b, 32, 32, 3))
+    weights = jax.random.uniform(jax.random.PRNGKey(4), (b, r, r, 1))
+    segmap = jax.nn.one_hot(jax.random.randint(jax.random.PRNGKey(5), (b, 32, 32), 0, 6), 6)
+    kp = jax.random.uniform(jax.random.PRNGKey(6), (b, 68, 3), minval=-0.8, maxval=0.8)
+
+    variables = sr.init(
+        {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1)},
+        rgb, feat, ws, torso_img, bg_img, weights, segmap, kp, kp + 0.02,
+    )
+    out, torso_ret = sr.apply(
+        variables, rgb, feat, ws, torso_img, bg_img, weights, segmap, kp, kp + 0.02,
+        noise_mode="const",
+    )
+    assert out.shape == (b, 32, 32, 3)
+    assert bool(jnp.isfinite(out).all())
+    assert "deformed_torso_img" in torso_ret
+
+
+def test_torso_avatar_end_to_end():
+    model = OSAvatarSECCImg2PlaneTorso(
+        triplane_hid_dim=8, triplane_depth=2, neural_rendering_resolution=16,
+        final_resolution=64, sr_channel0=16, sr_channel1=8, sr_num_fp16_res=0,
+        num_samples_coarse=8, num_samples_fine=8, torso_scale="tiny",
+    )
+    b = 1
+    img = jax.random.uniform(jax.random.PRNGKey(0), (b, 64, 64, 3), minval=-1, maxval=1)
+    secc = jax.random.uniform(jax.random.PRNGKey(1), (b, 64, 64, 9), minval=-1, maxval=1)
+    c2w = lookat_pose(jnp.zeros((b,)), jnp.zeros((b,)), jnp.zeros((b, 3)))
+    cam = pack_camera(c2w, fov_to_intrinsics())
+    cond = {
+        "ref_torso_img": jax.random.uniform(jax.random.PRNGKey(2), (b, 64, 64, 3)),
+        "bg_img": jax.random.uniform(jax.random.PRNGKey(3), (b, 64, 64, 3)),
+        "segmap": jax.nn.one_hot(
+            jax.random.randint(jax.random.PRNGKey(4), (b, 64, 64), 0, 6), 6
+        ),
+        "kp_src": jax.random.uniform(jax.random.PRNGKey(5), (b, 68, 3), minval=-0.8, maxval=0.8),
+        "kp_drv": jax.random.uniform(jax.random.PRNGKey(6), (b, 68, 3), minval=-0.8, maxval=0.8),
+    }
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1)},
+        img, cam, cond, secc=secc,
+    )
+    out = model.apply(variables, img, cam, cond, secc=secc)
+    assert out["image"].shape == (b, 64, 64, 3)
+    assert out["image_raw"].shape == (b, 16, 16, 3)
+    assert "facev2v_losses" in out
+    assert bool(jnp.isfinite(out["image"]).all())
+    # cached-cano path agrees
+    cano = model.apply(variables, img, method=lambda m, i: m.cal_cano_plane(i))
+    out2 = model.apply(variables, img, cam, cond, secc=secc, cano_planes=cano)
+    np.testing.assert_allclose(np.asarray(out2["image"]), np.asarray(out["image"]), atol=1e-5)
