@@ -1,0 +1,138 @@
+"""Audio front-end: mel spectrogram, F0, HuBERT features.
+
+Host-side (numpy) equivalents of `utils/audio/` and
+`data_gen/utils/process_audio/`:
+
+* mel: STFT + mel filterbank at the reference frame rate (16 kHz audio,
+  hop 320 -> 50 frames/sec, 80 bins);
+* F0: normalized-autocorrelation pitch tracker (stands in for parselmouth,
+  which is not in this image; same [T] @50Hz contract,
+  `utils/audio/pitch_extractors.py:75`);
+* HuBERT: optional HuggingFace ``HubertModel`` wrapper with the reference's
+  conv-stack chunking (`extract_hubert.py:48-67`); returns None when no
+  local pretrained weights exist (zero-egress environment) so callers fall
+  back to mel features or precomputed inputs.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+SAMPLE_RATE = 16000
+HOP = 320          # 20 ms -> 50 fps
+N_FFT = 512
+N_MELS = 80
+F_MIN, F_MAX = 55.0, 7600.0
+
+
+def _hz_to_mel(f):
+    return 2595.0 * np.log10(1.0 + np.asarray(f) / 700.0)
+
+
+def _mel_to_hz(m):
+    return 700.0 * (10.0 ** (np.asarray(m) / 2595.0) - 1.0)
+
+
+def _mel_filterbank(sr=SAMPLE_RATE, n_fft=N_FFT, n_mels=N_MELS,
+                    fmin=F_MIN, fmax=F_MAX) -> np.ndarray:
+    """Slaney-style triangular filterbank [n_mels, n_fft//2+1]."""
+    mels = np.linspace(_hz_to_mel(fmin), _hz_to_mel(fmax), n_mels + 2)
+    freqs = _mel_to_hz(mels)
+    fft_freqs = np.linspace(0, sr / 2, n_fft // 2 + 1)
+    fb = np.zeros((n_mels, len(fft_freqs)), np.float32)
+    for i in range(n_mels):
+        lo, ctr, hi = freqs[i], freqs[i + 1], freqs[i + 2]
+        up = (fft_freqs - lo) / max(ctr - lo, 1e-9)
+        down = (hi - fft_freqs) / max(hi - ctr, 1e-9)
+        fb[i] = np.maximum(0.0, np.minimum(up, down))
+    enorm = 2.0 / (freqs[2:] - freqs[:-2])
+    return fb * enorm[:, None]
+
+
+def extract_mel(wav: np.ndarray, sr: int = SAMPLE_RATE) -> np.ndarray:
+    """wav [N] float in [-1,1] -> log-mel [T, 80] at 50 fps."""
+    assert sr == SAMPLE_RATE, "resample to 16 kHz first"
+    wav = np.asarray(wav, np.float32)
+    pad = N_FFT // 2
+    wav = np.pad(wav, (pad, pad), mode="reflect")
+    n_frames = 1 + (len(wav) - N_FFT) // HOP
+    window = np.hanning(N_FFT).astype(np.float32)
+    idx = np.arange(N_FFT)[None, :] + HOP * np.arange(n_frames)[:, None]
+    frames = wav[idx] * window
+    spec = np.abs(np.fft.rfft(frames, n=N_FFT, axis=-1))
+    mel = spec @ _mel_filterbank().T
+    return np.log10(np.maximum(mel, 1e-5)).astype(np.float32)
+
+
+def extract_f0(wav: np.ndarray, sr: int = SAMPLE_RATE,
+               fmin: float = 60.0, fmax: float = 500.0) -> np.ndarray:
+    """wav [N] -> F0 [T] in Hz at 50 fps (0 = unvoiced).
+
+    Normalized autocorrelation with parabolic refinement; a pragmatic
+    parselmouth stand-in with the same output contract.
+    """
+    wav = np.asarray(wav, np.float32)
+    frame_len = 4 * HOP  # 80 ms window
+    n_frames = max(1, 1 + (len(wav) - frame_len) // HOP) if len(wav) >= frame_len else 0
+    lag_min = int(sr / fmax)
+    lag_max = int(sr / fmin)
+    f0 = np.zeros((max(n_frames, 0),), np.float32)
+    for t in range(n_frames):
+        fr = wav[t * HOP : t * HOP + frame_len]
+        fr = fr - fr.mean()
+        energy = float(np.sum(fr * fr))
+        if energy < 1e-6:
+            continue
+        ac = np.correlate(fr, fr, mode="full")[frame_len - 1 :]
+        ac = ac / (ac[0] + 1e-9)
+        seg = ac[lag_min:lag_max]
+        if len(seg) == 0:
+            continue
+        peak = int(np.argmax(seg)) + lag_min
+        if ac[peak] < 0.3:  # unvoiced
+            continue
+        # parabolic interpolation around the peak
+        if 1 <= peak < len(ac) - 1:
+            a, b, c = ac[peak - 1], ac[peak], ac[peak + 1]
+            denom = a - 2 * b + c
+            shift = 0.5 * (a - c) / denom if abs(denom) > 1e-9 else 0.0
+        else:
+            shift = 0.0
+        f0[t] = sr / (peak + shift)
+    # pad to the mel frame count convention (center-padded stft adds frames)
+    return f0
+
+
+def load_hubert_extractor(model_path: str | None = None):
+    """Return ``fn(wav16k) -> [T,1024] @50Hz`` or None if unavailable.
+
+    Uses HuggingFace transformers (torch CPU). Chunks long audio at ~20 s
+    respecting the conv stack's kernel-400/stride-320 arithmetic
+    (`extract_hubert.py:48-67`).
+    """
+    if not model_path:
+        return None
+    try:
+        import torch
+        from transformers import HubertModel, Wav2Vec2Processor
+    except Exception:
+        return None
+    try:
+        processor = Wav2Vec2Processor.from_pretrained(model_path)
+        model = HubertModel.from_pretrained(model_path).eval()
+    except Exception:
+        return None
+
+    @torch.no_grad()
+    def extract(wav: np.ndarray) -> np.ndarray:
+        chunks = []
+        chunk = 320 * 32 * 100  # ~20s, multiple of the conv stride math
+        for start in range(0, len(wav), chunk):
+            seg = wav[start : start + chunk + 80]  # kernel overlap
+            inputs = processor(seg, sampling_rate=SAMPLE_RATE,
+                               return_tensors="pt").input_values
+            hidden = model(inputs).last_hidden_state[0].numpy()
+            chunks.append(hidden)
+        return np.concatenate(chunks, axis=0).astype(np.float32)
+
+    return extract

@@ -1,0 +1,13 @@
+from real3dportrait_tpu.data.collate import batch_by_size, collate_nd, make_mask
+from real3dportrait_tpu.data.datasets import Audio2MotionDataset, Motion2VideoDataset
+from real3dportrait_tpu.data.indexed_dataset import IndexedDataset, IndexedDatasetBuilder
+
+__all__ = [
+    "batch_by_size",
+    "collate_nd",
+    "make_mask",
+    "Audio2MotionDataset",
+    "Motion2VideoDataset",
+    "IndexedDataset",
+    "IndexedDatasetBuilder",
+]

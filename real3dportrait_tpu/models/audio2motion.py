@@ -159,7 +159,9 @@ class FVAEEncoder(nn.Module):
         for s in self.strides:
             x = nn.Conv(self.hidden_channels, (s * 2,), strides=(s,),
                         padding=(s // 2,))(x)
-        stride = int(jnp.prod(jnp.array(self.strides)))
+        stride = 1
+        for s in self.strides:
+            stride *= s
         mask = x_mask[:, ::stride][:, : x.shape[1]]
         x = x * mask
         x = WN(self.hidden_channels, self.kernel_size, 1, self.n_layers,

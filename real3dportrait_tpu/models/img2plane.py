@@ -253,6 +253,12 @@ class OSAvatarSECCImg2PlaneTorso(nn.Module):
             return cano_plane + secc_plane
         return cano_plane * secc_plane
 
+    def sample_points(self, planes, coordinates, directions=None):
+        return run_model(
+            planes, lambda f, d: self.decoder(f, d), coordinates, directions,
+            self.render_options,
+        )
+
     def synthesis(
         self,
         img: jnp.ndarray,

@@ -183,19 +183,24 @@ class MappingNetwork(nn.Module):
                 lr_multiplier=self.lr_multiplier, name=f"fc{idx}",
             )(x)
 
-        w_avg = self.variable(
-            "ema", "w_avg", lambda: jnp.zeros((self.w_dim,), jnp.float32)
-        )
-        if update_emas and not self.is_initializing():
-            w_avg.value = (
-                jax.lax.stop_gradient(x.mean(axis=0)) * (1 - self.w_avg_beta)
-                + w_avg.value * self.w_avg_beta
+        # track w EMA only when configured (reference registers the buffer
+        # only for num_ws+w_avg_beta, `networks_stylegan2.py:243`)
+        track_ema = self.num_ws is not None and self.w_avg_beta is not None
+        if track_ema:
+            w_avg = self.variable(
+                "ema", "w_avg", lambda: jnp.zeros((self.w_dim,), jnp.float32)
             )
+            if update_emas and not self.is_initializing():
+                w_avg.value = (
+                    jax.lax.stop_gradient(x.mean(axis=0)) * (1 - self.w_avg_beta)
+                    + w_avg.value * self.w_avg_beta
+                )
 
         if self.num_ws is not None:
             x = jnp.repeat(x[:, None, :], self.num_ws, axis=1)
 
         if truncation_psi != 1.0:
+            assert track_ema, "truncation requires w_avg tracking"
             if self.num_ws is None or truncation_cutoff is None:
                 x = w_avg.value + truncation_psi * (x - w_avg.value)
             else:

@@ -1,0 +1,77 @@
+"""Torso-stage GAN training: only the warp/fusion SR head learns.
+
+Equivalent of `tasks/os_avatar/secc_img2plane_torso_task.py:54`: the head
+modules (img2plane/secc2plane/decoder) come frozen from a secc_img2plane
+checkpoint (partial restore via ``init_from_ckpt``/``reload_head_ckpt``);
+only ``superresolution`` (which owns the torso warp + fusion nets) and the
+discriminator update. GT is the composed person+background image.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from real3dportrait_tpu.models.img2plane import OSAvatarSECCImg2PlaneTorso
+from real3dportrait_tpu.training.tasks.secc_img2plane_task import SeccImg2PlaneTask
+
+
+class SeccImg2PlaneTorsoTask(SeccImg2PlaneTask):
+    def build_generator(self, cfg):
+        return OSAvatarSECCImg2PlaneTorso(
+            triplane_hid_dim=int(cfg.get("triplane_hid_dim", 32)),
+            triplane_depth=int(cfg.get("triplane_depth", 3)),
+            triplane_feature_type=cfg.get("triplane_feature_type", "trigrid"),
+            neural_rendering_resolution=int(cfg.get("neural_rendering_resolution", 128)),
+            final_resolution=int(cfg.get("final_resolution", 512)),
+            backbone_scale=cfg.get("img2plane_backbone_scale", "b0"),
+            secc_segformer_scale=cfg.get("secc_segformer_scale", "b0"),
+            pncc_cond_mode=cfg.get("pncc_cond_mode", "cano_src_tgt"),
+            plane_fusion_mode=cfg.get("phase1_plane_fusion_mode", "add"),
+            sr_num_fp16_res=int(cfg.get("num_fp16_layers_in_super_resolution", 4)),
+            num_samples_coarse=int(cfg.get("num_samples_coarse", 48)),
+            num_samples_fine=int(cfg.get("num_samples_fine", 48)),
+            sr_channel0=int(cfg.get("sr_channel0", 256)),
+            sr_channel1=int(cfg.get("sr_channel1", 128)),
+            torso_kp_num=int(cfg.get("torso_kp_num", 4)),
+            torso_scale=cfg.get("torso_model_scale", "standard"),
+            fuse_mode=cfg.get("htbsr_head_weight_fuse_mode", "v2"),
+            head_threshold=float(cfg.get("htbsr_head_threshold", 0.9)),
+            torso_version=cfg.get("torso_model_version", "v2"),
+        )
+
+    def _gen_apply_kwargs(self, batch):
+        return {
+            "cond": {
+                "ref_torso_img": batch["ref_torso_img"],
+                "bg_img": batch["bg_img"],
+                "segmap": batch["segmap"],
+                "kp_src": batch["kp_src"],
+                "kp_drv": batch["kp_drv"],
+            }
+        }
+
+    def _grad_gates(self, step) -> dict:
+        # only the SR/torso head trains (`secc_img2plane_torso_task.py:54-90`)
+        return {
+            "img2plane_backbone": jnp.asarray(0.0),
+            "secc_img2plane_backbone": jnp.asarray(0.0),
+            "decoder": jnp.asarray(0.0),
+            "superresolution": jnp.asarray(1.0),
+        }
+
+    def synthetic_batch(self, rng: np.random.RandomState) -> dict:
+        batch = super().synthetic_batch(rng)
+        cfg = self.cfg
+        b = int(cfg.get("batch_size", 1))
+        final = int(cfg.get("final_resolution", 512))
+        seg = np.zeros((b, final, final, 6), np.float32)
+        seg[..., 4] = 1.0
+        batch.update({
+            "ref_torso_img": rng.uniform(-1, 1, (b, final, final, 3)).astype(np.float32),
+            "bg_img": rng.uniform(-1, 1, (b, final, final, 3)).astype(np.float32),
+            "segmap": seg,
+            "kp_src": rng.uniform(-0.8, 0.8, (b, 68, 3)).astype(np.float32),
+            "kp_drv": rng.uniform(-0.8, 0.8, (b, 68, 3)).astype(np.float32),
+        })
+        return batch

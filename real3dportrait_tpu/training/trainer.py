@@ -1,0 +1,173 @@
+"""Generic training loop over a device mesh.
+
+TPU-native redesign of the reference `Trainer` (`utils/commons/trainer.py:62`):
+instead of per-GPU processes + torch DDP, a single controller jits the
+task's functional ``train_step`` over a `jax.sharding.Mesh` — params
+replicated, batch sharded along ``data`` — and XLA inserts the gradient
+all-reduces. Retained semantics: step-capped infinite epoching, periodic
+validation with best-ckpt tracking, step-indexed checkpoint save/prune with
+milestones, NaN-loss detection, loss meters, JSONL metric logging.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Any, Callable, Iterable, Iterator
+
+import jax
+import numpy as np
+
+from real3dportrait_tpu.config import FrozenConfig
+from real3dportrait_tpu.parallel import make_mesh, replicate_to_mesh, shard_batch
+from real3dportrait_tpu.training import checkpoint as ckpt
+from real3dportrait_tpu.training.train_state import TrainState
+
+
+class MetricLogger:
+    """JSONL metrics + stdout every ``log_interval`` (replaces TB writer)."""
+
+    def __init__(self, work_dir: str, log_interval: int = 100):
+        os.makedirs(work_dir, exist_ok=True)
+        self.path = os.path.join(work_dir, "metrics.jsonl")
+        self.log_interval = log_interval
+        self._f = open(self.path, "a")
+
+    def log(self, step: int, metrics: dict, prefix: str = "train"):
+        rec = {"step": int(step), "prefix": prefix}
+        rec.update({k: float(v) for k, v in metrics.items()})
+        self._f.write(json.dumps(rec) + "\n")
+        self._f.flush()
+        msg = " ".join(f"{k}={float(v):.4g}" for k, v in list(metrics.items())[:8])
+        print(f"| {prefix} step {step}: {msg}", flush=True)
+
+
+class Trainer:
+    """Drives a task object.
+
+    A task must provide:
+      * ``build(rng) -> TrainState``
+      * ``train_step(state, batch, rng) -> (state, metrics)``  (pure)
+      * ``val_step(state, batch, rng) -> metrics``             (pure)
+      * ``train_data() / val_data() -> iterator of batches``
+    """
+
+    def __init__(self, cfg: FrozenConfig, task, work_dir: str | None = None):
+        self.cfg = cfg
+        self.task = task
+        self.work_dir = work_dir or cfg.get("work_dir") or "checkpoints/default"
+        os.makedirs(self.work_dir, exist_ok=True)
+        self.logger = MetricLogger(self.work_dir, cfg.get("tb_log_interval", 100))
+        self.mesh = make_mesh(dict(cfg.get("mesh_shape", {"data": -1})))
+        self.max_updates = int(cfg.get("max_updates", 1000))
+        self.val_check_interval = int(cfg.get("val_check_interval", 2000))
+        self.num_ckpt_keep = int(cfg.get("num_ckpt_keep", 3))
+        self.milestone_interval = int(cfg.get("ckpt_milestone_interval", 100000))
+        self.monitor_mode = cfg.get("valid_monitor_mode", "min")
+        self.monitor_key = cfg.get("valid_monitor_key", "val_loss")
+        self.best_val = np.inf if self.monitor_mode == "min" else -np.inf
+        # persist the resolved config next to checkpoints (`hparams.py` flow)
+        cfg.save(os.path.join(self.work_dir, "config.yaml"))
+
+    # -- state ----------------------------------------------------------------
+
+    def init_or_restore(self, rng) -> TrainState:
+        state = self.task.build(rng)
+        restored, path = ckpt.get_last_checkpoint(self.work_dir)
+        if restored is not None:
+            from flax import serialization
+
+            state = serialization.from_state_dict(state, restored)
+            print(f"| restored checkpoint {path} at step {int(state.step)}")
+        init_from = self.cfg.get("init_from_ckpt", "")
+        if restored is None and init_from:
+            src, path = ckpt.get_last_checkpoint(init_from)
+            if src is not None:
+                from flax import serialization
+
+                target = serialization.to_state_dict(state)
+                merged, stats = ckpt.partial_load(target, src)
+                state = serialization.from_state_dict(state, merged)
+                print(f"| partial init from {path}: {stats}")
+        return replicate_to_mesh(state, self.mesh)
+
+    # -- loop -------------------------------------------------------------------
+
+    def fit(self, rng=None) -> TrainState:
+        rng = rng if rng is not None else jax.random.PRNGKey(self.cfg.get("seed", 9999))
+        rng, build_rng = jax.random.split(rng)
+        state = self.init_or_restore(build_rng)
+
+        with self.mesh:
+            train_step = jax.jit(self.task.train_step, donate_argnums=(0,))
+            val_step = jax.jit(self.task.val_step)
+
+            # sanity validation (`trainer.py:312-314`)
+            n_sanity = int(self.cfg.get("num_sanity_val_steps", 1))
+            if n_sanity > 0:
+                for i, batch in zip(range(n_sanity), self.task.val_data()):
+                    val_step(state, shard_batch(batch, self.mesh), jax.random.PRNGKey(i))
+
+            train_iter = iter(self.task.train_data())
+            meters: dict[str, list] = {}
+            t0 = time.time()
+            while int(jax.device_get(state.step)) < self.max_updates:
+                batch = next(train_iter)
+                rng, step_rng = jax.random.split(rng)
+                state, metrics = train_step(state, shard_batch(batch, self.mesh), step_rng)
+                step = int(jax.device_get(state.step))
+
+                total = metrics.get("total_loss")
+                if total is not None and not np.isfinite(jax.device_get(total)):
+                    print(f"| WARNING: non-finite total_loss at step {step}")
+                for k, v in metrics.items():
+                    meters.setdefault(k, []).append(float(jax.device_get(v)))
+
+                if step % self.logger.log_interval == 0:
+                    avg = {k: float(np.mean(v)) for k, v in meters.items()}
+                    avg["steps_per_sec"] = self.logger.log_interval / max(
+                        time.time() - t0, 1e-9
+                    )
+                    self.logger.log(step, avg)
+                    meters.clear()
+                    t0 = time.time()
+
+                if step % self.val_check_interval == 0:
+                    self.run_validation(state, val_step)
+                    ckpt.save_checkpoint(
+                        self.work_dir, step, self._to_state_dict(state),
+                        num_keep=self.num_ckpt_keep,
+                        milestone_interval=self.milestone_interval,
+                        not_save_keys=tuple(self.cfg.get("not_save_modules", []) or ()),
+                    )
+
+        final_step = int(jax.device_get(state.step))
+        ckpt.save_checkpoint(
+            self.work_dir, final_step, self._to_state_dict(state),
+            num_keep=self.num_ckpt_keep, milestone_interval=self.milestone_interval,
+        )
+        return state
+
+    def _to_state_dict(self, state):
+        from flax import serialization
+
+        return serialization.to_state_dict(jax.device_get(state))
+
+    def run_validation(self, state, val_step) -> dict:
+        metrics: dict[str, list] = {}
+        max_batches = int(self.cfg.get("eval_max_batches", 10))
+        for i, batch in zip(range(max_batches), self.task.val_data()):
+            m = val_step(state, shard_batch(batch, self.mesh), jax.random.PRNGKey(i))
+            for k, v in m.items():
+                metrics.setdefault(k, []).append(float(jax.device_get(v)))
+        avg = {k: float(np.mean(v)) for k, v in metrics.items()}
+        step = int(jax.device_get(state.step))
+        self.logger.log(step, avg, prefix="val")
+        val = avg.get(self.monitor_key)
+        if val is not None and self.cfg.get("save_best", True):
+            better = val < self.best_val if self.monitor_mode == "min" else val > self.best_val
+            if better:
+                self.best_val = val
+                ckpt.save_best(self.work_dir, self._to_state_dict(state), val)
+        return avg

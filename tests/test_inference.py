@@ -1,0 +1,100 @@
+import numpy as np
+import pytest
+
+from real3dportrait_tpu.config import FrozenConfig
+
+TINY_CFG = FrozenConfig({
+    "final_resolution": 64,
+    "neural_rendering_resolution": 16,
+    "secc_resolution": 64,
+    "triplane_hid_dim": 8,
+    "triplane_depth": 2,
+    "num_samples_coarse": 6,
+    "num_samples_fine": 6,
+    "sr_channel0": 16,
+    "sr_channel1": 8,
+    "num_fp16_layers_in_super_resolution": 0,
+    "torso_model_scale": "tiny",
+    "audio_type": "hubert",
+    "use_flow": True,
+})
+
+
+@pytest.fixture(scope="module")
+def pipe():
+    from real3dportrait_tpu.inference.pipeline import Real3DPortraitPipeline
+
+    return Real3DPortraitPipeline(cfg=TINY_CFG, mock_weights=True, use_torso=True)
+
+
+def test_audio_features():
+    from real3dportrait_tpu.audio import extract_f0, extract_mel
+
+    sr = 16000
+    t = np.arange(sr)  # 1 second
+    wav = (0.5 * np.sin(2 * np.pi * 220.0 * t / sr)).astype(np.float32)
+    mel = extract_mel(wav)
+    assert mel.shape[1] == 80
+    assert 45 <= mel.shape[0] <= 55  # ~50 fps
+    f0 = extract_f0(wav)
+    voiced = f0[f0 > 0]
+    assert len(voiced) > 10
+    np.testing.assert_allclose(np.median(voiced), 220.0, rtol=0.05)
+
+
+def test_fit_3dmm_recovers_pose():
+    import jax.numpy as jnp
+
+    from real3dportrait_tpu.geometry import face3d_helper, synthetic_bfm
+    from real3dportrait_tpu.geometry.fit_3dmm import fit_coeffs
+
+    assets = synthetic_bfm(n_vertices=256)
+    true_euler = jnp.array([[0.1, -0.15, 0.05]])
+    true_trans = jnp.array([[0.05, -0.02, 0.1]])
+    true_exp = jnp.zeros((1, 64)).at[0, 0].set(0.3)
+    lm2d = face3d_helper.reconstruct_lm2d(
+        assets, jnp.zeros((1, 80)), true_exp, true_euler, true_trans
+    )
+    fit = fit_coeffs(assets, lm2d, n_pose_iters=150, n_joint_iters=150, lr=0.03)
+    pred = face3d_helper.reconstruct_lm2d(assets, fit.id, fit.exp, fit.euler, fit.trans)
+    err = float(jnp.abs(pred - lm2d).mean())
+    assert err < 0.01  # sub-pixel in the normalized frame
+    assert float(fit.loss) < 1e-3
+
+
+def test_pipeline_end_to_end(pipe):
+    rng = np.random.RandomState(0)
+    src = rng.uniform(-1, 1, (64, 64, 3)).astype(np.float32)
+    sr = 16000
+    wav = (0.3 * np.sin(2 * np.pi * 180 * np.arange(int(0.6 * sr)) / sr)).astype(np.float32)
+    frames = pipe.run(src, wav=wav, temperature=0.2)
+    assert frames.ndim == 4 and frames.shape[1:] == (64, 64, 3)
+    assert frames.shape[0] >= 5  # ~0.6s at 25fps => ~14 frames (padded to /8)
+    assert np.isfinite(frames).all()
+    assert frames.min() >= -1.0 and frames.max() <= 1.0
+
+
+def test_pipeline_pose_driven(pipe):
+    rng = np.random.RandomState(1)
+    src = rng.uniform(-1, 1, (64, 64, 3)).astype(np.float32)
+    feats = rng.randn(16, 1024).astype(np.float32)
+    f0 = np.abs(rng.randn(16)).astype(np.float32) * 200
+    exp_seq = pipe.audio_to_motion(feats, f0)
+    assert exp_seq.shape == (8, 64)
+    # short pose sequence gets ping-pong looped to the frame count
+    pose = (rng.randn(3, 3).astype(np.float32) * 0.1,
+            rng.randn(3, 3).astype(np.float32) * 0.05)
+    coeffs = pipe.fit_source(None)
+    frames = pipe.synthesize(src, exp_seq, coeffs, pose_seq=pose)
+    assert frames.shape[0] == 8
+
+
+def test_pipeline_video_writer(tmp_path):
+    from real3dportrait_tpu.inference.pipeline import write_video
+
+    frames = np.zeros((3, 16, 16, 3), np.float32)
+    out = str(tmp_path / "out.mp4")
+    write_video(frames, out)
+    import os
+
+    assert os.path.isfile(out) or os.path.isfile(out + ".npy")

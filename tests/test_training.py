@@ -1,0 +1,258 @@
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from real3dportrait_tpu.config import FrozenConfig, load_config
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+TINY_GAN = {
+    "batch_size": 2,
+    "final_resolution": 32,
+    "neural_rendering_resolution": 8,
+    "triplane_hid_dim": 8,
+    "triplane_depth": 2,
+    "num_samples_coarse": 6,
+    "num_samples_fine": 6,
+    "sr_channel0": 16,
+    "sr_channel1": 8,
+    "base_channel": 256,
+    "max_channel": 32,
+    "num_fp16_layers_in_discriminator": 0,
+    "num_fp16_layers_in_super_resolution": 0,
+    "group_size_for_mini_batch_std": 2,
+    "reg_interval_g": 2,
+    "reg_interval_d": 2,
+    "update_src2src_interval": 2,
+    "start_adv_iters": 0,
+    "stop_update_i2p_iters": 100,
+    "mesh_shape": {"data": -1},
+}
+
+
+def _leaves_finite(tree):
+    return all(bool(jnp.isfinite(x).all()) for x in jax.tree_util.tree_leaves(tree)
+               if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating))
+
+
+def test_schedulers():
+    from real3dportrait_tpu.training.schedulers import (
+        build_schedule, cosine_schedule, exponential_schedule, rsqrt_schedule,
+    )
+
+    exp = exponential_schedule(1.0, 0.5, 10)
+    np.testing.assert_allclose(float(exp(0)), 1.0)
+    np.testing.assert_allclose(float(exp(10)), 0.5, rtol=1e-5)
+    cos = cosine_schedule(1.0, 100, warmup=10)
+    assert float(cos(5)) == pytest.approx(0.5, rel=1e-3)
+    assert float(cos(100)) == pytest.approx(0.0, abs=1e-5)
+    sched = build_schedule(FrozenConfig({"lr": 2.0, "scheduler": "exponential"}))
+    assert float(sched(0)) == 2.0
+
+
+def test_losses_analytic():
+    from real3dportrait_tpu.training import losses as L
+
+    x = jnp.ones((2, 4, 4, 3))
+    assert float(L.masked_mse(x, x)) == 0.0
+    assert float(L.masked_l1(x, x + 1)) == 1.0
+    # quantile clamp bounds outliers
+    y = x.at[0, 0, 0, 0].add(100.0)
+    assert float(L.masked_l1(y, x, clamp_quantile=0.9)) < 1.0
+    # linear sequence has zero laplacian
+    seq = jnp.tile(jnp.arange(8.0)[None, :, None], (2, 1, 3))
+    assert float(L.temporal_laplacian(seq)) < 1e-10
+    # KL annealing ramps and cycles
+    w0 = float(L.kl_annealing_weight(0, 1.0, 10, 10))
+    w10 = float(L.kl_annealing_weight(10, 1.0, 10, 10))
+    w20 = float(L.kl_annealing_weight(20, 1.0, 10, 10))
+    assert w0 == 0.0 and w10 == 1.0 and w20 == 0.0
+    # entropy is 0 at binary alphas, max at 0.5
+    assert float(L.weights_entropy_loss(jnp.full((1, 2, 2, 1), 0.5))) == pytest.approx(1.0)
+    assert float(L.weights_entropy_loss(jnp.zeros((1, 2, 2, 1)))) < 1e-3
+
+
+def test_checkpoint_roundtrip_and_retention(tmp_path):
+    from real3dportrait_tpu.training import checkpoint as ckpt
+
+    state = {"params": {"a": np.arange(6, dtype=np.float32).reshape(2, 3)},
+             "step": np.int32(5)}
+    for step in [100, 200, 300, 400]:
+        ckpt.save_checkpoint(str(tmp_path), step, state, num_keep=2,
+                             milestone_interval=200)
+    names = sorted(os.path.basename(p) for p in ckpt.get_all_ckpts(str(tmp_path)))
+    # keep 2 newest (300, 400) + milestone 200; 100 pruned
+    assert names == ["model_ckpt_steps_200.ckpt", "model_ckpt_steps_300.ckpt",
+                     "model_ckpt_steps_400.ckpt"]
+    loaded, path = ckpt.get_last_checkpoint(str(tmp_path))
+    assert path.endswith("400.ckpt")
+    np.testing.assert_array_equal(loaded["params"]["a"], state["params"]["a"])
+
+
+def test_partial_load_shape_skip():
+    from real3dportrait_tpu.training.checkpoint import partial_load
+
+    target = {"m": {"w": np.zeros((2, 2)), "b": np.zeros((3,))}, "x": np.zeros(1)}
+    source = {"m": {"w": np.ones((2, 2)), "b": np.ones((4,))}}
+    out, stats = partial_load(target, source)
+    np.testing.assert_array_equal(out["m"]["w"], 1.0)
+    np.testing.assert_array_equal(out["m"]["b"], 0.0)
+    assert stats == {"loaded": 1, "shape_mismatch": 1, "missing": 1}
+
+
+def test_mesh_and_sharding():
+    from real3dportrait_tpu.parallel import make_mesh, shard_batch
+
+    mesh = make_mesh({"data": -1})
+    assert mesh.devices.size == 8
+    batch = {"x": np.zeros((16, 4), np.float32)}
+    sharded = shard_batch(batch, mesh)
+    assert sharded["x"].sharding.spec[0] == "data"
+    mesh2 = make_mesh({"data": -1, "rays": 2})
+    assert mesh2.shape == {"data": 4, "rays": 2}
+
+
+def test_syncnet_task_steps():
+    from real3dportrait_tpu.training.tasks.syncnet_task import SyncNetTask
+
+    cfg = FrozenConfig({"batch_size": 4, "syncnet_base_hid_size": 16,
+                        "syncnet_out_hid_size": 32, "lr": 1e-3})
+    task = SyncNetTask(cfg)
+    state = task.build(jax.random.PRNGKey(0))
+    batch = jax.tree_util.tree_map(jnp.asarray,
+                                   task.synthetic_batch(np.random.RandomState(0)))
+    step = jax.jit(task.train_step)
+    for i in range(2):
+        state, metrics = step(state, batch, jax.random.PRNGKey(i))
+    assert int(state.step) == 2
+    assert _leaves_finite(metrics)
+    val = task.val_step(state, batch, jax.random.PRNGKey(9))
+    assert "val_loss" in val
+
+
+def test_audio2motion_task_losses_decrease():
+    from real3dportrait_tpu.training.tasks.audio2motion_task import Audio2MotionTask
+
+    cfg = FrozenConfig({"batch_size": 2, "sample_min_length": 16, "lr": 1e-3,
+                        "scheduler": "none", "clip_grad_norm": 1.0})
+    task = Audio2MotionTask(cfg)
+    state = task.build(jax.random.PRNGKey(0))
+    batch = jax.tree_util.tree_map(jnp.asarray,
+                                   task.synthetic_batch(np.random.RandomState(0)))
+    step = jax.jit(task.train_step)
+    first = None
+    for i in range(8):
+        state, metrics = step(state, batch, jax.random.PRNGKey(0))
+        if first is None:
+            first = float(metrics["mse_exp"])
+    assert _leaves_finite(metrics)
+    assert float(metrics["mse_exp"]) < first  # same-batch overfit sanity
+
+
+def test_secc_img2plane_task_step():
+    from real3dportrait_tpu.training.tasks.secc_img2plane_task import SeccImg2PlaneTask
+
+    cfg = FrozenConfig(TINY_GAN)
+    task = SeccImg2PlaneTask(cfg)
+    state = task.build(jax.random.PRNGKey(0))
+    batch = jax.tree_util.tree_map(jnp.asarray,
+                                   task.synthetic_batch(np.random.RandomState(0)))
+    step = jax.jit(task.train_step)
+    state, metrics = step(state, batch, jax.random.PRNGKey(0))
+    state, metrics = step(state, batch, jax.random.PRNGKey(1))
+    assert int(state.step) == 2
+    assert _leaves_finite(metrics)
+    assert "g/mse" in metrics and "d/loss" in metrics and "g/adv" in metrics
+    # adaptive lambda moved off its init
+    assert float(state.extra["lambda_pertube_secc"]) != 0.0
+    val = jax.jit(task.val_step)(state, batch, jax.random.PRNGKey(2))
+    assert "val_psnr" in val
+
+
+def test_secc_task_grad_gates():
+    from real3dportrait_tpu.training.tasks.secc_img2plane_task import SeccImg2PlaneTask
+
+    cfg = FrozenConfig({**TINY_GAN, "start_adv_iters": 5, "stop_update_i2p_iters": 3,
+                        "two_stage_training": True})
+    task = SeccImg2PlaneTask(cfg)
+    gates0 = task._grad_gates(jnp.asarray(0))
+    assert float(gates0["img2plane_backbone"]) == 1.0
+    gates4 = task._grad_gates(jnp.asarray(4))
+    assert float(gates4["img2plane_backbone"]) == 0.0  # past stop_i2p
+    assert float(gates4["secc_img2plane_backbone"]) == 1.0
+    gates6 = task._grad_gates(jnp.asarray(6))  # stage 2: only SR
+    assert float(gates6["secc_img2plane_backbone"]) == 0.0
+    assert float(gates6["superresolution"]) == 1.0
+
+
+def test_torso_task_step():
+    from real3dportrait_tpu.training.tasks.secc_img2plane_torso_task import (
+        SeccImg2PlaneTorsoTask,
+    )
+
+    cfg = FrozenConfig({**TINY_GAN, "torso_model_scale": "tiny", "batch_size": 1})
+    task = SeccImg2PlaneTorsoTask(cfg)
+    state = task.build(jax.random.PRNGKey(0))
+    batch = jax.tree_util.tree_map(jnp.asarray,
+                                   task.synthetic_batch(np.random.RandomState(0)))
+    before = state.params["gen"]["img2plane_backbone"]
+    state, metrics = jax.jit(task.train_step)(state, batch, jax.random.PRNGKey(0))
+    assert _leaves_finite(metrics)
+    # frozen head: img2plane params unchanged
+    after = state.params["gen"]["img2plane_backbone"]
+    diffs = jax.tree_util.tree_map(lambda a, b: float(jnp.abs(a - b).max()),
+                                   before, after)
+    assert max(jax.tree_util.tree_leaves(diffs)) == 0.0
+    # SR/torso params did change
+    d_sr = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.abs(a - b).max()),
+        state.params["gen"]["superresolution"],
+        task.build(jax.random.PRNGKey(0)).params["gen"]["superresolution"],
+    )
+    assert max(jax.tree_util.tree_leaves(d_sr)) > 0.0
+
+
+def test_img2plane_distillation_step():
+    from real3dportrait_tpu.training.tasks.img2plane_task import Img2PlaneTask
+
+    cfg = FrozenConfig({**TINY_GAN, "z_dim": 16, "w_dim": 16,
+                        "teacher_plane_resolution": 16, "start_adv_iters": 0})
+    task = Img2PlaneTask(cfg)
+    state = task.build(jax.random.PRNGKey(0))
+    batch = jax.tree_util.tree_map(jnp.asarray,
+                                   task.synthetic_batch(np.random.RandomState(0)))
+    teacher_before = jax.tree_util.tree_leaves(state.params["teacher"])[0].copy()
+    state, metrics = jax.jit(task.train_step)(state, batch, jax.random.PRNGKey(0))
+    assert _leaves_finite(metrics)
+    assert "g/mse_mv" in metrics
+    # teacher stays frozen
+    teacher_after = jax.tree_util.tree_leaves(state.params["teacher"])[0]
+    np.testing.assert_array_equal(np.asarray(teacher_before), np.asarray(teacher_after))
+
+
+def test_trainer_loop_smoke(tmp_path):
+    from real3dportrait_tpu.training.tasks.syncnet_task import SyncNetTask
+    from real3dportrait_tpu.training.trainer import Trainer
+
+    cfg = FrozenConfig({
+        "batch_size": 4, "syncnet_base_hid_size": 16, "syncnet_out_hid_size": 32,
+        "lr": 1e-3, "max_updates": 6, "val_check_interval": 3,
+        "num_sanity_val_steps": 1, "eval_max_batches": 1, "tb_log_interval": 2,
+        "mesh_shape": {"data": -1}, "seed": 0,
+    })
+    task = SyncNetTask(cfg)
+    trainer = Trainer(cfg, task, work_dir=str(tmp_path))
+    state = trainer.fit()
+    assert int(jax.device_get(state.step)) == 6
+    assert os.path.isfile(os.path.join(tmp_path, "config.yaml"))
+    assert os.path.isfile(os.path.join(tmp_path, "metrics.jsonl"))
+    from real3dportrait_tpu.training.checkpoint import get_all_ckpts
+
+    assert len(get_all_ckpts(str(tmp_path))) >= 1
+    # resume: a fresh trainer restores the step counter
+    trainer2 = Trainer(cfg.replace(max_updates=8), task, work_dir=str(tmp_path))
+    state2 = trainer2.fit()
+    assert int(jax.device_get(state2.step)) == 8
