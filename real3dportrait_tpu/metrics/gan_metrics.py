@@ -1,0 +1,149 @@
+"""Generator evaluation: FID / KID / IS machinery with a metric registry.
+
+Redesign of `modules/eg3ds/metrics/{metric_main,metric_utils,frechet_inception_distance,
+kernel_inception_distance,inception_score}.py`: the statistics math (Frechet
+distance, polynomial-kernel MMD, KL-based IS) is extractor-agnostic and
+implemented exactly; the feature extractor is pluggable.
+
+The reference downloads a pretrained InceptionV3 from torch hub — impossible
+in this zero-egress image — so the default extractor is a fixed
+random-projection conv net (deterministic, scale-stable). Scores computed
+with it are internally comparable across checkpoints of the same run, and
+swapping in real Inception weights via ``extractor`` recovers standard
+FID/KID/IS.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_METRICS: dict[str, Callable] = {}
+
+
+def register_metric(fn: Callable) -> Callable:
+    """Decorator registry (`metric_main.py:31`)."""
+    _METRICS[fn.__name__] = fn
+    return fn
+
+
+def list_metrics() -> list[str]:
+    return sorted(_METRICS)
+
+
+def calc_metric(name: str, **kwargs) -> dict:
+    """Run a registered metric (`metric_main.py:calc_metric`)."""
+    if name not in _METRICS:
+        raise KeyError(f"unknown metric {name!r}; known: {list_metrics()}")
+    value = _METRICS[name](**kwargs)
+    return {"results": {name: value}, "metric": name}
+
+
+# --- statistics -------------------------------------------------------------
+
+
+def _matrix_sqrt_eig(mat: np.ndarray) -> np.ndarray:
+    """PSD matrix square root via symmetric eigendecomposition."""
+    vals, vecs = np.linalg.eigh(mat)
+    vals = np.clip(vals, 0.0, None)
+    return (vecs * np.sqrt(vals)) @ vecs.T
+
+
+def frechet_distance(feats_a: np.ndarray, feats_b: np.ndarray) -> float:
+    """FID between two feature sets [N,D], [M,D]
+    (`frechet_inception_distance.py`)."""
+    mu_a, mu_b = feats_a.mean(0), feats_b.mean(0)
+    cov_a = np.cov(feats_a, rowvar=False)
+    cov_b = np.cov(feats_b, rowvar=False)
+    diff = mu_a - mu_b
+    # tr(Ca + Cb - 2 (Ca Cb)^(1/2)); use eig-based sqrt of the product via
+    # the similarity trick sqrt(Ca Cb) ~ sqrt(Ca)^T is not symmetric —
+    # compute sqrt(sqrt(Ca) Cb sqrt(Ca)) which shares the trace.
+    sqrt_a = _matrix_sqrt_eig(cov_a)
+    inner = _matrix_sqrt_eig(sqrt_a @ cov_b @ sqrt_a)
+    return float(diff @ diff + np.trace(cov_a) + np.trace(cov_b) - 2 * np.trace(inner))
+
+
+def kernel_distance(feats_a: np.ndarray, feats_b: np.ndarray,
+                    max_subset_size: int = 1000, num_subsets: int = 10,
+                    seed: int = 0) -> float:
+    """KID: polynomial-kernel MMD^2, subset-averaged
+    (`kernel_inception_distance.py`)."""
+    rng = np.random.RandomState(seed)
+    n = feats_a.shape[1]
+    m = min(min(len(feats_a), len(feats_b)), max_subset_size)
+    total = 0.0
+    for _ in range(num_subsets):
+        x = feats_a[rng.choice(len(feats_a), m, replace=False)].astype(np.float64)
+        y = feats_b[rng.choice(len(feats_b), m, replace=False)].astype(np.float64)
+        a = (x @ x.T / n + 1) ** 3 + (y @ y.T / n + 1) ** 3
+        b = (x @ y.T / n + 1) ** 3
+        total += (a.sum() - np.trace(a)) / (m - 1) - b.sum() * 2 / m
+    return float(total / num_subsets / m)
+
+
+def inception_score(probs: np.ndarray, num_splits: int = 10) -> tuple[float, float]:
+    """IS over class probabilities [N,C] (`inception_score.py`)."""
+    scores = []
+    n = len(probs)
+    for i in range(num_splits):
+        part = probs[i * n // num_splits : (i + 1) * n // num_splits]
+        kl = part * (np.log(part + 1e-12) - np.log(part.mean(0, keepdims=True) + 1e-12))
+        scores.append(np.exp(kl.sum(1).mean()))
+    return float(np.mean(scores)), float(np.std(scores))
+
+
+# --- default feature extractor ------------------------------------------------
+
+
+def make_random_projection_extractor(feature_dim: int = 512, seed: int = 0,
+                                     batch: int = 32) -> Callable:
+    """Deterministic conv random-feature extractor: images [N,H,W,3] in
+    [-1,1] -> features [N, feature_dim]."""
+    key = jax.random.PRNGKey(seed)
+    k1, k2, k3 = jax.random.split(key, 3)
+    w1 = jax.random.normal(k1, (5, 5, 3, 32)) / np.sqrt(75)
+    w2 = jax.random.normal(k2, (3, 3, 32, 64)) / np.sqrt(288)
+    w_out = jax.random.normal(k3, (64 * 2, feature_dim)) / np.sqrt(128)
+
+    @jax.jit
+    def features(x):
+        from jax import lax
+
+        def conv(x, w, stride):
+            return lax.conv_general_dilated(
+                x, w, (stride, stride), "SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+        h = jax.nn.leaky_relu(conv(x, w1, 4), 0.2)
+        h = jax.nn.leaky_relu(conv(h, w2, 4), 0.2)
+        pooled = jnp.concatenate([h.mean(axis=(1, 2)), h.max(axis=(1, 2))], -1)
+        return pooled @ w_out
+
+    def extract(images: np.ndarray) -> np.ndarray:
+        outs = []
+        for i in range(0, len(images), batch):
+            outs.append(np.asarray(features(jnp.asarray(images[i : i + batch]))))
+        return np.concatenate(outs, 0)
+
+    return extract
+
+
+# --- registered metrics -------------------------------------------------------
+
+
+@register_metric
+def fid(real_images=None, fake_images=None, extractor=None, **_) -> float:
+    extractor = extractor or make_random_projection_extractor()
+    return frechet_distance(extractor(real_images), extractor(fake_images))
+
+
+@register_metric
+def kid(real_images=None, fake_images=None, extractor=None, **kw) -> float:
+    extractor = extractor or make_random_projection_extractor()
+    return kernel_distance(extractor(real_images), extractor(fake_images),
+                           max_subset_size=kw.get("max_subset_size", 1000),
+                           num_subsets=kw.get("num_subsets", 10))

@@ -98,6 +98,10 @@ class SeccImg2PlaneTask(BaseTask):
             batch["camera"],
         )
         params = {"gen": gen_vars["params"], "disc": disc_vars["params"]}
+        if bool(self.cfg.get("use_gen_ema", True)):
+            # EMA snapshot of the generator used for eval/inference
+            # (reference `ema_interval`, EG3D convention)
+            params["gen_ema"] = jax.tree_util.tree_map(jnp.copy, gen_vars["params"])
         return TrainState(
             step=jnp.zeros((), jnp.int32),
             params=params,
@@ -112,6 +116,12 @@ class SeccImg2PlaneTask(BaseTask):
                 )
             },
         )
+
+    @property
+    def ema_beta(self) -> float:
+        # half-life of ema_interval steps: beta = 0.5 ** (1/interval)
+        interval = float(self.cfg.get("ema_interval", 400))
+        return 0.5 ** (1.0 / max(interval, 1.0))
 
     # -- gradient gates ----------------------------------------------------
 
@@ -338,9 +348,16 @@ class SeccImg2PlaneTask(BaseTask):
             "d/loss": d_total,
             "d/r1": r1_val,
         })
+        new_params = {"gen": gen_params, "disc": disc_params}
+        if "gen_ema" in state.params:
+            beta = self.ema_beta
+            new_params["gen_ema"] = jax.tree_util.tree_map(
+                lambda e, p: e * beta + p * (1.0 - beta),
+                state.params["gen_ema"], gen_params,
+            )
         new_state = state.replace(
             step=state.step + 1,
-            params={"gen": gen_params, "disc": disc_params},
+            params=new_params,
             opt_states={"gen": g_opt, "disc": d_opt},
             extra=extra,
         )
