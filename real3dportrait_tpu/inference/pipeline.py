@@ -268,6 +268,7 @@ class Real3DPortraitPipeline:
         src_coeffs: dict,
         pose_seq: tuple | None = None,        # (euler [T,3], trans [T,3]) or None
         bg_img: np.ndarray | None = None,
+        blink_mode: str = "periodic",         # periodic | none
         callback: Callable[[int, np.ndarray], None] | None = None,
     ) -> np.ndarray:
         """Render all frames; returns [T,H,W,3] float in [-1,1]."""
@@ -312,11 +313,32 @@ class Real3DPortraitPipeline:
                 bg_img = bg_img.astype(np.float32) / 127.5 - 1.0
             cond["bg_img"] = jnp.asarray(_resize_np(bg_img, res))[None]
 
+        # periodic blink schedule (`real3d_infer.py:411-426`): per-frame eye
+        # close percents; only blink frames pay a host round trip for the
+        # pixel-space eyelid edit
+        blink_percent = np.zeros((t,), np.float32)
+        if blink_mode == "periodic":
+            from real3dportrait_tpu.inference.edit_secc import blink_eye_for_secc
+
+            period, n_blink = 25 * 5, 5
+            profile = np.concatenate([
+                np.linspace(0.25, 1.0, n_blink // 2 + 1)[1:],
+                np.linspace(1.0, 0.25, n_blink - n_blink // 2),
+            ])
+            start = period // 2
+            while start + n_blink < t:
+                blink_percent[start : start + n_blink] = profile
+                start += period
+
         frames = []
         for i in range(t):
             _, tgt_secc = self.secc_renderer.render(
                 idc[i : i + 1], exp_seq[i : i + 1], zero, zero
             )
+            if blink_percent[i] > 0:
+                edited = blink_eye_for_secc(np.asarray(tgt_secc[0]),
+                                            float(blink_percent[i]))
+                tgt_secc = jnp.asarray(edited)[None]
             secc_cond = jnp.concatenate([cano_secc, src_secc, tgt_secc], axis=-1)
             image, _raw, _depth = self._frame_step(
                 self.model_variables, cameras[i : i + 1], secc_cond, cano_plane, cond

@@ -158,7 +158,10 @@ def _sample_pdf(
     if key is None:
         u = jnp.broadcast_to(jnp.linspace(0.0, 1.0, n_importance), (r, n_importance))
     else:
-        u = jax.random.uniform(key, (r, n_importance))
+        # sorted u: the sample SET is distributionally identical (order
+        # statistics), and monotone inverse-CDF then yields sorted depths,
+        # letting the coarse+fine merge skip the per-ray argsort
+        u = jnp.sort(jax.random.uniform(key, (r, n_importance)), axis=-1)
 
     inds = jax.vmap(lambda c, uu: jnp.searchsorted(c, uu, side="right"))(cdf, u)
     below = jnp.clip(inds - 1, 0, None)
@@ -190,6 +193,44 @@ def sample_importance(
     z_mid = (z[:, :-1] + z[:, 1:]) / 2.0
     fine = _sample_pdf(z_mid, w[:, 1:-1], n_importance, key)
     return fine.reshape(b, m, n_importance, 1)
+
+
+def _merge_sorted_samples(depths1, colors1, densities1, depths2, colors2, densities2):
+    """Merge two per-ray **sorted** sample sets without argsort.
+
+    Target positions come from two searchsorted calls (stable w.r.t. ties:
+    set 1 goes left of equal set-2 entries); a single inverse-permutation
+    scatter then drives gathers for depths/colors/densities. Replaces the
+    O(S log² S) bitonic argsort of the generic path with O(S log S) binary
+    searches — both coarse (stratified) and fine (sorted-u inverse CDF)
+    depths are sorted by construction.
+    """
+    b, m, s1, _ = depths1.shape
+    s2 = depths2.shape[2]
+    s = s1 + s2
+    d1 = depths1.reshape(b * m, s1)
+    d2 = depths2.reshape(b * m, s2)
+    pos1 = jnp.arange(s1)[None] + jax.vmap(
+        lambda a, v: jnp.searchsorted(a, v, side="left"))(d2, d1)
+    pos2 = jnp.arange(s2)[None] + jax.vmap(
+        lambda a, v: jnp.searchsorted(a, v, side="right"))(d1, d2)
+    pos = jnp.concatenate([pos1, pos2], axis=-1)  # [R, S]
+    inv = jnp.zeros((b * m, s), jnp.int32)
+    inv = jax.vmap(lambda iv, p: iv.at[p].set(jnp.arange(s, dtype=jnp.int32)))(inv, pos)
+    inv = inv.reshape(b, m, s, 1)
+
+    def merge(x1, x2):
+        cat = jnp.concatenate([x1, x2], axis=-2)
+        idx = jnp.broadcast_to(inv, cat.shape[:-1] + (1,))
+        return jnp.take_along_axis(
+            cat, jnp.repeat(idx, cat.shape[-1], axis=-1), axis=-2
+        )
+
+    return (
+        merge(depths1, depths2),
+        merge(colors1, colors2),
+        merge(densities1, densities2),
+    )
 
 
 def _unify_samples(depths1, colors1, densities1, depths2, colors2, densities2):
@@ -265,7 +306,7 @@ def render_rays(
         )
         depths_fine = sample_importance(depths_coarse, weights, n_imp, keys[2])
         colors_fine, densities_fine = eval_at(depths_fine, keys[3])
-        all_depths, all_colors, all_densities = _unify_samples(
+        all_depths, all_colors, all_densities = _merge_sorted_samples(
             depths_coarse, colors_coarse, densities_coarse,
             depths_fine, colors_fine, densities_fine,
         )
