@@ -46,7 +46,9 @@ class OSAvatarImg2Plane(nn.Module):
     triplane_feature_type: str = "trigrid"  # triplane | trigrid
     neural_rendering_resolution: int = 128
     final_resolution: int = 512
-    backbone_scale: str = "b0"
+    backbone_mode: str = "segformer"        # segformer | composite
+    backbone_scale: str = "b0"              # MiT scale, or composite scale
+    composite_vit_dim: int = 1024
     w_dim: int = 512
     sr_num_fp16_res: int = 4
     sr_channel0: int = 256
@@ -74,9 +76,21 @@ class OSAvatarImg2Plane(nn.Module):
         )
 
     def setup(self):
-        self.img2plane_backbone = SegFormerImg2PlaneBackbone(
-            scale=self.backbone_scale, plane_channels=self.plane_channels
-        )
+        if self.backbone_mode == "composite":
+            from real3dportrait_tpu.models.img2plane_composite import (
+                CompositeImg2PlaneBackbone,
+            )
+
+            self.img2plane_backbone = CompositeImg2PlaneBackbone(
+                plane_channels=self.plane_channels,
+                scale=self.backbone_scale if self.backbone_scale in
+                ("small", "standard", "large") else "standard",
+                vit_dim=self.composite_vit_dim,
+            )
+        else:
+            self.img2plane_backbone = SegFormerImg2PlaneBackbone(
+                scale=self.backbone_scale, plane_channels=self.plane_channels
+            )
         self.decoder = OSGDecoder(hidden_dim=64, output_dim=self.triplane_hid_dim)
         self.superresolution = SuperresolutionHybrid8XDC(
             w_dim=self.w_dim,
