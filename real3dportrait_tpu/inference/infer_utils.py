@@ -1,0 +1,44 @@
+"""Inference helpers: temporal smoothing, video-driven motion extraction.
+
+Equivalents of `inference/infer_utils.py` (mirror_index lives in
+geometry.camera; gaussian feature smoothing here) plus the video-driven
+expression path of `real3d_infer.py` (drv_exp video -> fitted coefficients).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def smooth_features_1d(x: jnp.ndarray, kernel_size: int = 7, sigma: float = 2.0):
+    """Gaussian smoothing along the time axis of [T, ...] features
+    (`infer_utils.py:71`, smooth_features_xd)."""
+    t = x.shape[0]
+    if t < 2:
+        return x
+    half = kernel_size // 2
+    g = jnp.exp(-0.5 * ((jnp.arange(kernel_size) - half) / sigma) ** 2)
+    g = g / g.sum()
+    flat = x.reshape(t, -1)
+    padded = jnp.concatenate([flat[half:0:-1], flat, flat[-2 : -2 - half : -1]], 0)
+    sm = jax.vmap(lambda col: jnp.convolve(col, g, mode="valid"),
+                  in_axes=1, out_axes=1)(padded)
+    return sm.reshape(x.shape)
+
+
+def motion_from_video_landmarks(assets, lm2d_seq: np.ndarray,
+                                smooth: bool = True) -> dict:
+    """Driving-video landmarks [T,68,2] -> {exp, euler, trans} coefficient
+    sequences (the drv_exp video path of `real3d_infer.py:104` infer_utils /
+    `prepare_batch_from_inp`)."""
+    from real3dportrait_tpu.geometry.fit_3dmm import fit_coeffs
+
+    fit = fit_coeffs(assets, jnp.asarray(lm2d_seq))
+    exp, euler, trans = fit.exp, fit.euler, fit.trans
+    if smooth and len(exp) > 7:
+        exp = smooth_features_1d(exp, kernel_size=5, sigma=1.0)
+        euler = smooth_features_1d(euler)
+        trans = smooth_features_1d(trans)
+    return {"exp": exp, "euler": euler, "trans": trans, "id": fit.id}

@@ -128,6 +128,43 @@ def downsample2d(x: jnp.ndarray, f: jnp.ndarray, down: int = 2, padding=0, gain:
     )
 
 
+def filtered_lrelu(
+    x: jnp.ndarray,
+    f: jnp.ndarray | None = None,
+    b: jnp.ndarray | None = None,
+    up: int = 2,
+    down: int = 2,
+    padding=0,
+    gain: float = float(np.sqrt(2.0)),
+    slope: float = 0.2,
+    clamp: float | None = None,
+) -> jnp.ndarray:
+    """StyleGAN3's fused upsample -> bias -> leaky-relu -> downsample.
+
+    Composition replacement for the 1.8kLoC CUDA plugin
+    (`torch_utils/ops/filtered_lrelu.{cpp,cu}`): each stage is an XLA op and
+    the compiler fuses the elementwise middle into the convolutions.
+    """
+    fh, fw = (f.shape if f is not None else (1, 1))
+    px0, px1, py0, py1 = _parse_padding(padding)
+    x = upfirdn2d(
+        x, f, up=up,
+        padding=(px0 + (fw + up - 1) // 2, px1 + (fw - up) // 2,
+                 py0 + (fh + up - 1) // 2, py1 + (fh - up) // 2),
+        gain=up * up,
+    )
+    if b is not None:
+        x = x + b.reshape(1, 1, 1, -1).astype(x.dtype)
+    x = jnp.where(x >= 0, x, x * slope) * gain
+    if clamp is not None:
+        x = jnp.clip(x, -clamp, clamp)
+    return upfirdn2d(
+        x, f, down=down,
+        padding=((fw - down + 1) // 2, (fw - down) // 2,
+                 (fh - down + 1) // 2, (fh - down) // 2),
+    )
+
+
 def conv2d_resample(
     x: jnp.ndarray,
     w: jnp.ndarray,
