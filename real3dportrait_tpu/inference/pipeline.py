@@ -275,9 +275,15 @@ class Real3DPortraitPipeline:
         res = self.res
         if src_img.dtype == np.uint8:
             src_img = src_img.astype(np.float32) / 127.5 - 1.0
-        if src_img.shape[0] != res:
-            src_img = _resize_np(src_img, res)
-        img = jnp.asarray(src_img)[None]
+        # batched multi-identity mode: [N,H,W,3] sources share one driving
+        # signal (throughput mode, BASELINE.json config 3)
+        batched = src_img.ndim == 4
+        if not batched:
+            src_img = src_img[None]
+        if src_img.shape[1] != res:
+            src_img = np.stack([_resize_np(s, res) for s in src_img])
+        img = jnp.asarray(src_img)
+        n_ident = img.shape[0]
 
         t = exp_seq.shape[0]
         idc = jnp.broadcast_to(src_coeffs["id"], (t, 80))
@@ -304,14 +310,22 @@ class Real3DPortraitPipeline:
             src_coeffs["id"], src_coeffs["exp"], zero, zero
         )
 
-        # canonical plane: ONCE per video
+        # canonical plane: ONCE per video (all identities in one batch)
         cano_plane = self._cal_cano(self.model_variables, img)
 
-        cond = self._mock_cond(np.asarray(img[0]))
+        seg = jnp.zeros((n_ident, res, res, 6)).at[..., 4].set(1.0)
+        cond = {
+            "ref_torso_img": img,
+            "bg_img": img,
+            "segmap": seg,
+            "kp_src": jnp.zeros((n_ident, 68, 3)),
+            "kp_drv": jnp.zeros((n_ident, 68, 3)),
+        }
         if bg_img is not None:
             if bg_img.dtype == np.uint8:
                 bg_img = bg_img.astype(np.float32) / 127.5 - 1.0
-            cond["bg_img"] = jnp.asarray(_resize_np(bg_img, res))[None]
+            bg = jnp.asarray(_resize_np(bg_img, res))[None]
+            cond["bg_img"] = jnp.broadcast_to(bg, img.shape)
 
         # periodic blink schedule (`real3d_infer.py:411-426`): per-frame eye
         # close percents; only blink frames pay a host round trip for the
@@ -340,10 +354,14 @@ class Real3DPortraitPipeline:
                                             float(blink_percent[i]))
                 tgt_secc = jnp.asarray(edited)[None]
             secc_cond = jnp.concatenate([cano_secc, src_secc, tgt_secc], axis=-1)
-            image, _raw, _depth = self._frame_step(
-                self.model_variables, cameras[i : i + 1], secc_cond, cano_plane, cond
+            secc_cond = jnp.broadcast_to(
+                secc_cond, (n_ident,) + secc_cond.shape[1:]
             )
-            frame = np.asarray(image[0])
+            cam_i = jnp.broadcast_to(cameras[i : i + 1], (n_ident, 25))
+            image, _raw, _depth = self._frame_step(
+                self.model_variables, cam_i, secc_cond, cano_plane, cond
+            )
+            frame = np.asarray(image if batched else image[0])
             frames.append(frame)
             if callback is not None:
                 callback(i, frame)

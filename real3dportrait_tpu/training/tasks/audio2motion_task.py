@@ -172,6 +172,32 @@ class Audio2MotionTask(BaseTask):
         total, losses = self._losses(state.params, state, batch, rng)
         return {"val_loss": total, **{f"val_{k}": v for k, v in losses.items()}}
 
+    def train_data(self):
+        """Binarized dataset when available; synthetic smoke batches otherwise."""
+        import os
+
+        store = os.path.join(str(self.cfg.get("binary_data_dir", "")), "train")
+        if os.path.isfile(store + ".idx"):
+            from real3dportrait_tpu.data import Audio2MotionDataset
+
+            ds = Audio2MotionDataset(store, self.cfg, shuffle=True,
+                                     seed=int(self.cfg.get("seed", 0)))
+            yield from ds.batches()
+        else:
+            yield from super().train_data()
+
+    def val_data(self):
+        import os
+
+        store = os.path.join(str(self.cfg.get("binary_data_dir", "")), "val")
+        if os.path.isfile(store + ".idx"):
+            from real3dportrait_tpu.data import Audio2MotionDataset
+
+            ds = Audio2MotionDataset(store, self.cfg, shuffle=False, seed=1234)
+            yield from ds.batches()
+        else:
+            yield from super().val_data()
+
     def synthetic_batch(self, rng: np.random.RandomState) -> dict:
         b = int(self.cfg.get("batch_size", 2))
         t50 = 2 * int(self.cfg.get("sample_min_length", 32))
