@@ -60,6 +60,7 @@ class OSAvatarImg2Plane(nn.Module):
     ray_far: Any = "auto"
     use_fused_decoder: bool = False   # Pallas fused plane-mean+MLP kernel
     fused_interpret: bool = False     # interpret mode (CPU testing)
+    render_bf16: bool = False         # bf16 plane sampling + decoder matmuls
 
     @property
     def plane_channels(self) -> int:
@@ -151,6 +152,10 @@ class OSAvatarImg2Plane(nn.Module):
         c2w, intrinsics = unpack_camera(camera)
         res = self.neural_rendering_resolution
         origins, dirs = sample_rays(c2w, intrinsics, res)
+        if self.render_bf16:
+            # halve HBM traffic of the per-sample plane gathers; the ray
+            # marcher recasts to fp32 before compositing
+            planes = planes.astype(jnp.bfloat16)
         out = render_rays(
             planes, self._decoder_fn(), origins, dirs, self.render_options, key=key
         )

@@ -293,8 +293,9 @@ def render_rays(
             ray_directions[:, :, None, :], (b, m, n_s, 3)
         ).reshape(b, -1, 3)
         out = run_model(planes, decoder, coords, dirs, options, rng)
-        colors = out["rgb"].reshape(b, m, n_s, -1)
-        densities = out["sigma"].reshape(b, m, n_s, 1)
+        # compositing runs fp32 regardless of the sampling/decoder dtype
+        colors = out["rgb"].astype(jnp.float32).reshape(b, m, n_s, -1)
+        densities = out["sigma"].astype(jnp.float32).reshape(b, m, n_s, 1)
         return colors, densities
 
     colors_coarse, densities_coarse = eval_at(depths_coarse, keys[1])

@@ -154,10 +154,18 @@ class SeccImg2PlaneTask(BaseTask):
 
     def _gen_forward(self, gen_params, state, batch, rng):
         variables = {"params": gen_params, **state.variables}
-        return self.gen.apply(
-            variables, batch["src_img"], batch["camera"], secc=batch["secc_cond"],
-            key=rng, **self._gen_apply_kwargs(batch),
-        )
+
+        def fwd(img, camera, secc):
+            return self.gen.apply(
+                variables, img, camera, secc=secc, key=rng,
+                **self._gen_apply_kwargs(batch),
+            )
+
+        if bool(self.cfg.get("remat_generator", False)):
+            # rematerialize backbone activations in the backward pass: trades
+            # FLOPs for HBM, enabling larger batches (jax.checkpoint)
+            fwd = jax.checkpoint(fwd)
+        return fwd(batch["src_img"], batch["camera"], batch["secc_cond"])
 
     def _recon_losses(self, out, batch, losses: dict):
         cfg = self.cfg
