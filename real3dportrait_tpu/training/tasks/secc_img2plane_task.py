@@ -381,6 +381,101 @@ class SeccImg2PlaneTask(BaseTask):
         return {"val_loss": losses["mse"], "val_psnr": psnr,
                 **{f"val_{k}": v for k, v in losses.items()}}
 
+    # -- real data: binarized video records -> model batches -----------------
+
+    def _secc_renderer(self):
+        if not hasattr(self, "_secc_r"):
+            from real3dportrait_tpu.geometry import load_or_synthetic_bfm
+            from real3dportrait_tpu.geometry.secc_renderer import SECCRenderer
+
+            bfm_dir = self.cfg.get("bfm_dir")
+            assets = load_or_synthetic_bfm(bfm_dir)
+            self._secc_r = SECCRenderer(
+                assets, bfm_dir,
+                rasterize_size=int(self.cfg.get("secc_cond_resolution",
+                                                self.cfg.get("final_resolution", 512))),
+            )
+        return self._secc_r
+
+    def _to_img(self, x: np.ndarray) -> jnp.ndarray:
+        final = int(self.cfg.get("final_resolution", 512))
+        x = jnp.asarray(x)
+        if x.dtype == jnp.uint8:
+            x = x.astype(jnp.float32) / 127.5 - 1.0
+        if x.shape[1] != final:
+            x = jax.image.resize(
+                x, (x.shape[0], final, final, x.shape[-1]), "bilinear"
+            )
+        return x
+
+    def prepare_batch_from_records(self, rec: dict) -> dict:
+        """Motion2VideoDataset pair batch -> train-step inputs.
+
+        The reference renders SECC maps under no_grad inside prepare_batch
+        (`secc_img2plane_task.py:164-248`); here they're rendered on device
+        before the jitted step.
+        """
+        from real3dportrait_tpu.geometry import convert_eg3d_convention, pack_camera
+
+        r = self._secc_renderer()
+        src_id = jnp.asarray(rec["src_id"], jnp.float32)
+        zero = jnp.zeros_like(jnp.asarray(rec["src_euler"], jnp.float32))
+        zero_t = jnp.zeros_like(zero)
+        _, cano = r.render(src_id, jnp.zeros_like(jnp.asarray(rec["src_exp"])),
+                           zero, zero_t)
+        _, src_secc = r.render(src_id, jnp.asarray(rec["src_exp"]), zero, zero_t)
+        _, tgt_secc = r.render(src_id, jnp.asarray(rec["tgt_exp"]), zero, zero_t)
+
+        def cam(euler, trans):
+            _, conv, intr = convert_eg3d_convention(
+                jnp.asarray(euler, jnp.float32), jnp.asarray(trans, jnp.float32)
+            )
+            return pack_camera(conv, intr[0])
+
+        src_img = self._to_img(rec["src_head_imgs"])
+        tgt_img = self._to_img(rec["tgt_head_imgs"])
+        return {
+            "src_img": src_img,
+            "tgt_img": tgt_img,
+            "secc_cond": jnp.concatenate([cano, src_secc, tgt_secc], axis=-1),
+            "secc_cond_src": jnp.concatenate([cano, src_secc, src_secc], axis=-1),
+            "camera": cam(rec["tgt_euler"], rec["tgt_trans"]),
+            "camera_src": cam(rec["src_euler"], rec["src_trans"]),
+            "head_mask": (jnp.mean(tgt_img, -1, keepdims=True) > -0.999).astype(
+                jnp.float32
+            ),
+        }
+
+    def _record_batches(self, split: str):
+        import os
+
+        store = os.path.join(str(self.cfg.get("binary_data_dir", "")), split)
+        if not os.path.isfile(store + ".idx"):
+            return None
+        from real3dportrait_tpu.data import Motion2VideoDataset
+
+        ds = Motion2VideoDataset(store, self.cfg,
+                                 shuffle=(split == "train"),
+                                 seed=int(self.cfg.get("seed", 0)))
+        def gen():
+            for rec in ds.batches():
+                yield self.prepare_batch_from_records(rec)
+        return gen()
+
+    def train_data(self):
+        real = self._record_batches("train")
+        if real is not None:
+            yield from real
+        else:
+            yield from super().train_data()
+
+    def val_data(self):
+        real = self._record_batches("val")
+        if real is not None:
+            yield from real
+        else:
+            yield from super().val_data()
+
     # -- synthetic smoke batches ---------------------------------------------
 
     def synthetic_batch(self, rng: np.random.RandomState) -> dict:

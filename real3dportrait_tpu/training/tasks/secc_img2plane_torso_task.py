@@ -9,6 +9,7 @@ discriminator update. GT is the composed person+background image.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -59,6 +60,53 @@ class SeccImg2PlaneTorsoTask(SeccImg2PlaneTask):
             "decoder": jnp.asarray(0.0),
             "superresolution": jnp.asarray(1.0),
         }
+
+    def prepare_batch_from_records(self, rec: dict) -> dict:
+        batch = super().prepare_batch_from_records(rec)
+        import jax.numpy as jnp
+
+        from real3dportrait_tpu.geometry import face3d_helper
+
+        # GT for the torso stage is the composed person+bg image
+        if "tgt_com_imgs" in rec:
+            batch["tgt_img"] = self._to_img(rec["tgt_com_imgs"])
+        batch["ref_torso_img"] = self._to_img(
+            rec.get("src_torso_imgs", rec["src_head_imgs"])
+        )
+        bg = rec.get("src_bg_img")
+        batch["bg_img"] = (
+            self._to_img(bg) if bg is not None else jnp.zeros_like(batch["src_img"])
+        )
+        final = batch["src_img"].shape[1]
+        if "src_segmaps" in rec:
+            seg = jnp.asarray(rec["src_segmaps"], jnp.int32)
+            segmap = jax.nn.one_hot(seg, 6)
+            if segmap.shape[1] != final:
+                segmap = jax.image.resize(
+                    segmap, (segmap.shape[0], final, final, 6), "nearest"
+                )
+        else:
+            segmap = jnp.zeros((batch["src_img"].shape[0], final, final, 6)
+                               ).at[..., 4].set(1.0)
+        batch["segmap"] = segmap
+
+        # driving keypoints: 2D landmarks from the fitted coefficients,
+        # mapped to [-1,1] (`secc_img2plane_torso_task.py:125-187`)
+        assets = self._secc_renderer().assets
+
+        def kp(id_c, exp_c, euler, trans):
+            lm = face3d_helper.reconstruct_lm2d(
+                assets, jnp.asarray(id_c), jnp.asarray(exp_c),
+                jnp.asarray(euler), jnp.asarray(trans),
+            )
+            lm3 = jnp.concatenate([lm * 2 - 1, jnp.zeros_like(lm[..., :1])], -1)
+            return lm3
+
+        batch["kp_src"] = kp(rec["src_id"], rec["src_exp"], rec["src_euler"],
+                             rec["src_trans"])
+        batch["kp_drv"] = kp(rec["src_id"], rec["tgt_exp"], rec["tgt_euler"],
+                             rec["tgt_trans"])
+        return batch
 
     def synthetic_batch(self, rng: np.random.RandomState) -> dict:
         batch = super().synthetic_batch(rng)
