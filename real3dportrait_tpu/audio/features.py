@@ -103,6 +103,56 @@ def extract_f0(wav: np.ndarray, sr: int = SAMPLE_RATE,
     return f0
 
 
+def extract_mfcc(wav: np.ndarray, n_mfcc: int = 13, sr: int = SAMPLE_RATE) -> np.ndarray:
+    """Log-mel -> DCT-II cepstral coefficients [T, n_mfcc] (`utils/audio`)."""
+    logmel = extract_mel(wav, sr)
+    t, n = logmel.shape
+    k = np.arange(n_mfcc)[:, None]
+    basis = np.cos(np.pi * k * (2 * np.arange(n)[None] + 1) / (2 * n))
+    basis *= np.sqrt(2.0 / n)
+    basis[0] *= np.sqrt(0.5)
+    return (logmel @ basis.T).astype(np.float32)
+
+
+def vad(wav: np.ndarray, sr: int = SAMPLE_RATE, threshold_db: float = -40.0) -> np.ndarray:
+    """Energy-based voice activity [T] bool at 50 fps (`utils/audio` VAD)."""
+    n_frames = max(1 + (len(wav) - N_FFT) // HOP, 0)
+    idx = np.arange(N_FFT)[None, :] + HOP * np.arange(n_frames)[:, None]
+    frames = np.asarray(wav, np.float32)[idx]
+    rms = np.sqrt(np.mean(frames**2, axis=-1) + 1e-12)
+    db = 20 * np.log10(rms + 1e-12)
+    return db > threshold_db
+
+
+def griffin_lim(mag: np.ndarray, n_iters: int = 30, sr: int = SAMPLE_RATE) -> np.ndarray:
+    """Linear-magnitude spectrogram [T, n_fft//2+1] -> waveform
+    (`utils/audio` Griffin-Lim; debugging/reconstruction utility)."""
+    rng = np.random.RandomState(0)
+    angles = np.exp(2j * np.pi * rng.rand(*mag.shape))
+    window = np.hanning(N_FFT).astype(np.float32)
+
+    def istft(spec):
+        frames = np.fft.irfft(spec, n=N_FFT, axis=-1) * window
+        out = np.zeros((len(spec) - 1) * HOP + N_FFT, np.float32)
+        wsum = np.zeros_like(out)
+        for i, fr in enumerate(frames):
+            out[i * HOP : i * HOP + N_FFT] += fr
+            wsum[i * HOP : i * HOP + N_FFT] += window**2
+        return out / np.maximum(wsum, 1e-8)
+
+    def stft(wav):
+        n_frames = 1 + (len(wav) - N_FFT) // HOP
+        idx = np.arange(N_FFT)[None, :] + HOP * np.arange(n_frames)[:, None]
+        return np.fft.rfft(wav[idx] * window, n=N_FFT, axis=-1)
+
+    wav = istft(mag * angles)
+    for _ in range(n_iters):
+        spec = stft(wav)
+        angles = np.exp(1j * np.angle(spec[: len(mag)]))
+        wav = istft(mag * angles)
+    return wav.astype(np.float32)
+
+
 def load_hubert_extractor(model_path: str | None = None):
     """Return ``fn(wav16k) -> [T,1024] @50Hz`` or None if unavailable.
 

@@ -59,6 +59,8 @@ def main():
     p.add_argument("--fps", type=int, default=25)
     p.add_argument("--mock_weights", action="store_true",
                    help="random-init models (no checkpoints available)")
+    p.add_argument("--low_memory_usage", action="store_true",
+                   help="stream frames to the writer instead of buffering")
     p.add_argument("--head_only", action="store_true", help="skip torso/bg fusion")
     p.add_argument("--hparams", default="", help="config overrides a.b=1,c=2")
     args = p.parse_args()
@@ -98,6 +100,7 @@ def main():
         src, wav=wav, pose_seq=pose, bg_img=bg,
         temperature=args.temperature, mouth_amp=args.mouth_amp,
         out_path=args.out_name, fps=args.fps,
+        out_mode=args.out_mode, low_memory=args.low_memory_usage,
     )
     print(f"| wrote {len(frames)} frames -> {args.out_name}")
 

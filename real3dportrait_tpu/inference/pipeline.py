@@ -270,6 +270,8 @@ class Real3DPortraitPipeline:
         bg_img: np.ndarray | None = None,
         blink_mode: str = "periodic",         # periodic | none
         callback: Callable[[int, np.ndarray], None] | None = None,
+        debug_mode: bool = False,             # concat final|raw|depth per frame
+        stream_only: bool = False,            # low_memory: frames go to callback only
     ) -> np.ndarray:
         """Render all frames; returns [T,H,W,3] float in [-1,1]."""
         res = self.res
@@ -358,13 +360,27 @@ class Real3DPortraitPipeline:
                 secc_cond, (n_ident,) + secc_cond.shape[1:]
             )
             cam_i = jnp.broadcast_to(cameras[i : i + 1], (n_ident, 25))
-            image, _raw, _depth = self._frame_step(
+            image, raw, depth = self._frame_step(
                 self.model_variables, cam_i, secc_cond, cano_plane, cond
             )
-            frame = np.asarray(image if batched else image[0])
-            frames.append(frame)
+            if debug_mode:
+                from real3dportrait_tpu.utils.visualization import (
+                    depth_to_colormap, side_by_side, to_uint8,
+                )
+
+                frame = side_by_side(
+                    to_uint8(np.asarray(image[0])),
+                    to_uint8(np.asarray(raw[0])),
+                    depth_to_colormap(np.asarray(depth[0, ..., 0])),
+                ).astype(np.float32) / 127.5 - 1.0
+            else:
+                frame = np.asarray(image if batched else image[0])
             if callback is not None:
                 callback(i, frame)
+            if not stream_only:
+                frames.append(frame)
+        if stream_only:
+            return np.stack([frame])  # last frame only (low-memory mode)
         return np.stack(frames)
 
     # -- top level -----------------------------------------------------------
@@ -381,17 +397,72 @@ class Real3DPortraitPipeline:
         mouth_amp: float = 0.4,
         out_path: str | None = None,
         fps: int = 25,
+        out_mode: str = "final",              # final | concat_debug
+        low_memory: bool = False,
     ) -> np.ndarray:
-        """Full audio-driven synthesis; returns frames [T,H,W,3] in [-1,1]."""
+        """Full audio-driven synthesis; returns frames [T,H,W,3] in [-1,1].
+
+        ``low_memory``: stream frames straight into the video writer instead
+        of accumulating them (`real3d_infer.py` --low_memory_usage).
+        """
         coeffs = self.fit_source(src_lm2d)
         feats, f0 = self.audio_to_features(wav, hubert)
         exp_seq = self.audio_to_motion(feats, f0, temperature=temperature,
                                        mouth_amp=mouth_amp)
+        debug = out_mode == "concat_debug"
+        if low_memory and out_path:
+            writer = StreamingVideoWriter(out_path, fps=fps)
+            frames = self.synthesize(
+                src_img, exp_seq, coeffs, pose_seq=pose_seq, bg_img=bg_img,
+                debug_mode=debug, stream_only=True,
+                callback=lambda i, f: writer.append(f),
+            )
+            writer.close()
+            return frames
         frames = self.synthesize(src_img, exp_seq, coeffs, pose_seq=pose_seq,
-                                 bg_img=bg_img)
+                                 bg_img=bg_img, debug_mode=debug)
         if out_path:
             write_video(frames, out_path, fps=fps, wav=wav)
         return frames
+
+
+class StreamingVideoWriter:
+    """Incremental frame writer (low-memory path): imageio when available,
+    otherwise appends raw uint8 frames to an .npy-compatible stream."""
+
+    def __init__(self, out_path: str, fps: int = 25):
+        self.out_path = out_path
+        self.fps = fps
+        self._writer = None
+        self._fallback = None
+        self.count = 0
+
+    def append(self, frame: np.ndarray):
+        u8 = ((np.clip(frame, -1, 1) + 1) * 127.5).astype(np.uint8)
+        if self._writer is None and self._fallback is None:
+            try:
+                import imageio
+
+                self._writer = imageio.get_writer(self.out_path, fps=self.fps)
+            except Exception:
+                self._fallback = open(self.out_path + ".raw", "wb")
+                self._shape = u8.shape
+        if self._writer is not None:
+            self._writer.append_data(u8)
+        else:
+            self._fallback.write(u8.tobytes())
+        self.count += 1
+
+    def close(self):
+        if self._writer is not None:
+            self._writer.close()
+        if self._fallback is not None:
+            self._fallback.close()
+            import json
+
+            with open(self.out_path + ".meta.json", "w") as f:
+                json.dump({"frames": self.count, "shape": list(self._shape),
+                           "dtype": "uint8"}, f)
 
 
 def write_video(frames: np.ndarray, out_path: str, fps: int = 25,

@@ -147,3 +147,78 @@ def kid(real_images=None, fake_images=None, extractor=None, **kw) -> float:
     return kernel_distance(extractor(real_images), extractor(fake_images),
                            max_subset_size=kw.get("max_subset_size", 1000),
                            num_subsets=kw.get("num_subsets", 10))
+
+
+def precision_recall(real_feats: np.ndarray, fake_feats: np.ndarray,
+                     nhood_size: int = 3) -> tuple[float, float]:
+    """Improved precision/recall (Kynkäänniemi et al.): a sample counts if it
+    falls inside the k-NN hypersphere of the other manifold
+    (`metrics/precision_recall.py` in the reference suite)."""
+
+    def manifold_radii(feats):
+        d = np.linalg.norm(feats[:, None] - feats[None], axis=-1)
+        np.fill_diagonal(d, np.inf)
+        return np.sort(d, axis=1)[:, nhood_size - 1]
+
+    def coverage(samples, manifold, radii):
+        d = np.linalg.norm(samples[:, None] - manifold[None], axis=-1)
+        return float(np.mean(np.any(d <= radii[None], axis=1)))
+
+    r_real = manifold_radii(real_feats)
+    r_fake = manifold_radii(fake_feats)
+    precision = coverage(fake_feats, real_feats, r_real)
+    recall = coverage(real_feats, fake_feats, r_fake)
+    return precision, recall
+
+
+def perceptual_path_length(
+    synth_fn, z_dim: int, n_samples: int = 64, epsilon: float = 1e-4,
+    seed: int = 0, distance_fn=None,
+) -> float:
+    """PPL (`metrics/perceptual_path_length.py`): expected squared perceptual
+    distance between renders at z and slerp(z, z2, eps), scaled by 1/eps².
+
+    ``synth_fn(z [N,z_dim]) -> images [N,H,W,3]``; ``distance_fn`` defaults to
+    the LPIPS surrogate.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from real3dportrait_tpu.metrics.image_metrics import lpips_surrogate
+
+    distance_fn = distance_fn or (lambda a, b: lpips_surrogate(a, b))
+    key = jax.random.PRNGKey(seed)
+    k1, k2, k3 = jax.random.split(key, 3)
+    z0 = jax.random.normal(k1, (n_samples, z_dim))
+    z1 = jax.random.normal(k2, (n_samples, z_dim))
+    t = jax.random.uniform(k3, (n_samples, 1))
+
+    def slerp(a, b, tt):
+        a_n = a / jnp.linalg.norm(a, axis=-1, keepdims=True)
+        b_n = b / jnp.linalg.norm(b, axis=-1, keepdims=True)
+        omega = jnp.arccos(jnp.clip(jnp.sum(a_n * b_n, -1, keepdims=True), -1, 1))
+        so = jnp.sin(omega)
+        return (jnp.sin((1 - tt) * omega) / so) * a + (jnp.sin(tt * omega) / so) * b
+
+    za = slerp(z0, z1, t)
+    zb = slerp(z0, z1, t + epsilon)
+    img_a = synth_fn(za)
+    img_b = synth_fn(zb)
+    d = np.asarray(distance_fn(img_a, img_b))
+    return float(np.mean(d) / epsilon**2)
+
+
+@register_metric
+def pr50k(real_images=None, fake_images=None, extractor=None, **kw) -> dict:
+    extractor = extractor or make_random_projection_extractor()
+    p, r = precision_recall(extractor(real_images), extractor(fake_images),
+                            nhood_size=kw.get("nhood_size", 3))
+    return {"precision": p, "recall": r}
+
+
+@register_metric
+def ppl(synth_fn=None, z_dim: int = 512, **kw) -> float:
+    return perceptual_path_length(synth_fn, z_dim,
+                                  n_samples=kw.get("n_samples", 64),
+                                  epsilon=kw.get("epsilon", 1e-4),
+                                  seed=kw.get("seed", 0))

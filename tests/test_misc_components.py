@@ -67,3 +67,67 @@ def test_motion_from_video_landmarks():
     # recovered yaw trend should correlate with ground truth
     corr = np.corrcoef(np.asarray(out["euler"][:, 1]), np.asarray(euler[:, 1]))[0, 1]
     assert corr > 0.8
+
+
+def test_mfcc_vad_griffinlim():
+    from real3dportrait_tpu.audio import extract_mel, extract_mfcc, griffin_lim, vad
+
+    sr = 16000
+    t = np.arange(sr)
+    tone = (0.4 * np.sin(2 * np.pi * 300 * t / sr)).astype(np.float32)
+    silence = np.zeros(sr, np.float32)
+    wav = np.concatenate([tone, silence])
+    mf = extract_mfcc(wav)
+    assert mf.shape[1] == 13
+    activity = vad(wav)
+    # first half voiced, second half silent
+    half = len(activity) // 2
+    assert activity[: half - 3].mean() > 0.9
+    assert activity[half + 3 :].mean() < 0.1
+    # griffin-lim reconstructs a tone with dominant energy at ~300 Hz
+    n_fft = 512
+    idx = np.arange(n_fft)[None, :] + 320 * np.arange(40)[:, None]
+    mag = np.abs(np.fft.rfft(tone[idx] * np.hanning(n_fft), axis=-1))
+    rec = griffin_lim(mag, n_iters=10)
+    spec = np.abs(np.fft.rfft(rec[: sr // 2]))
+    freq = np.fft.rfftfreq(sr // 2, 1 / sr)
+    assert abs(freq[np.argmax(spec)] - 300) < 20
+
+
+def test_visualization_helpers():
+    from real3dportrait_tpu.utils.visualization import (
+        depth_to_colormap, draw_landmarks, image_grid, side_by_side,
+    )
+
+    img = np.zeros((32, 32, 3), np.float32)
+    lm = np.random.RandomState(0).rand(68, 2)
+    drawn = draw_landmarks(img, lm)
+    assert drawn.dtype == np.uint8 and drawn.sum() > 0
+    grid = image_grid([img, img, img])
+    assert grid.ndim == 3
+    depth = depth_to_colormap(np.random.RandomState(0).rand(16, 16))
+    assert depth.shape == (16, 16, 3)
+    sbs = side_by_side(img, img[:16])
+    assert sbs.shape[0] == 32 and sbs.shape[1] > 32
+
+
+def test_precision_recall_and_ppl():
+    from real3dportrait_tpu.metrics.gan_metrics import (
+        perceptual_path_length, precision_recall,
+    )
+
+    rng = np.random.RandomState(0)
+    a = rng.randn(200, 8)
+    p, r = precision_recall(a, a + rng.randn(200, 8) * 0.01)
+    assert p > 0.9 and r > 0.9
+    p2, r2 = precision_recall(a, a + 10.0)
+    assert p2 < 0.1 and r2 < 0.1
+
+    # smooth generator -> small ppl; discontinuous-ish -> larger
+    import jax.numpy as jnp
+
+    def smooth(z):
+        return jnp.broadcast_to(z[:, :1, None, None], (z.shape[0], 32, 32, 1)) * jnp.ones((1, 32, 32, 3)) * 0.01
+
+    ppl_val = perceptual_path_length(smooth, z_dim=8, n_samples=8, epsilon=1e-2)
+    assert np.isfinite(ppl_val) and ppl_val >= 0
