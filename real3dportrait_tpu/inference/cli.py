@@ -61,6 +61,8 @@ def main():
                    help="random-init models (no checkpoints available)")
     p.add_argument("--low_memory_usage", action="store_true",
                    help="stream frames to the writer instead of buffering")
+    p.add_argument("--frame_batch", type=int, default=1,
+                   help="frames rendered per device step (throughput mode)")
     p.add_argument("--head_only", action="store_true", help="skip torso/bg fusion")
     p.add_argument("--hparams", default="", help="config overrides a.b=1,c=2")
     args = p.parse_args()
@@ -101,6 +103,7 @@ def main():
         temperature=args.temperature, mouth_amp=args.mouth_amp,
         out_path=args.out_name, fps=args.fps,
         out_mode=args.out_mode, low_memory=args.low_memory_usage,
+        frame_batch=args.frame_batch,
     )
     print(f"| wrote {len(frames)} frames -> {args.out_name}")
 

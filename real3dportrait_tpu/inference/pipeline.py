@@ -272,6 +272,7 @@ class Real3DPortraitPipeline:
         callback: Callable[[int, np.ndarray], None] | None = None,
         debug_mode: bool = False,             # concat final|raw|depth per frame
         stream_only: bool = False,            # low_memory: frames go to callback only
+        frame_batch: int = 1,                 # frames rendered per device step
     ) -> np.ndarray:
         """Render all frames; returns [T,H,W,3] float in [-1,1]."""
         res = self.res
@@ -346,23 +347,66 @@ class Real3DPortraitPipeline:
                 blink_percent[start : start + n_blink] = profile
                 start += period
 
+        assert frame_batch == 1 or n_ident == 1, (
+            "frame batching and multi-identity batching are mutually exclusive"
+        )
+        fb = max(int(frame_batch), 1)
+        if fb > 1:
+            # batch frames along the render's batch (ray) axis: the cached
+            # plane and conditioning broadcast; one device step renders fb
+            # frames (BASELINE north star: "batching frames across the ray
+            # dimension")
+            cano_plane = jnp.broadcast_to(cano_plane, (fb,) + cano_plane.shape[1:])
+            cond = {k: jnp.broadcast_to(v, (fb,) + v.shape[1:])
+                    for k, v in cond.items()}
+
         frames = []
-        for i in range(t):
-            _, tgt_secc = self.secc_renderer.render(
-                idc[i : i + 1], exp_seq[i : i + 1], zero, zero
-            )
-            if blink_percent[i] > 0:
-                edited = blink_eye_for_secc(np.asarray(tgt_secc[0]),
-                                            float(blink_percent[i]))
-                tgt_secc = jnp.asarray(edited)[None]
-            secc_cond = jnp.concatenate([cano_secc, src_secc, tgt_secc], axis=-1)
-            secc_cond = jnp.broadcast_to(
-                secc_cond, (n_ident,) + secc_cond.shape[1:]
-            )
-            cam_i = jnp.broadcast_to(cameras[i : i + 1], (n_ident, 25))
+        for start in range(0, t, fb) if fb > 1 else range(t):
+            if fb > 1:
+                idxs = np.minimum(np.arange(start, start + fb), t - 1)
+                _, tgt_secc = self.secc_renderer.render(
+                    idc[idxs], exp_seq[idxs],
+                    jnp.zeros((fb, 3)), jnp.zeros((fb, 3)),
+                )
+                if np.any(blink_percent[idxs] > 0):
+                    edited = np.asarray(tgt_secc)
+                    for k, j in enumerate(idxs):
+                        if blink_percent[j] > 0:
+                            edited[k] = blink_eye_for_secc(edited[k],
+                                                           float(blink_percent[j]))
+                    tgt_secc = jnp.asarray(edited)
+                secc_cond = jnp.concatenate([
+                    jnp.broadcast_to(cano_secc, tgt_secc.shape),
+                    jnp.broadcast_to(src_secc, tgt_secc.shape),
+                    tgt_secc,
+                ], axis=-1)
+                cam_i = cameras[idxs]
+            else:
+                i = start
+                _, tgt_secc = self.secc_renderer.render(
+                    idc[i : i + 1], exp_seq[i : i + 1], zero, zero
+                )
+                if blink_percent[i] > 0:
+                    edited = blink_eye_for_secc(np.asarray(tgt_secc[0]),
+                                                float(blink_percent[i]))
+                    tgt_secc = jnp.asarray(edited)[None]
+                secc_cond = jnp.concatenate([cano_secc, src_secc, tgt_secc], axis=-1)
+                secc_cond = jnp.broadcast_to(
+                    secc_cond, (n_ident,) + secc_cond.shape[1:]
+                )
+                cam_i = jnp.broadcast_to(cameras[i : i + 1], (n_ident, 25))
             image, raw, depth = self._frame_step(
                 self.model_variables, cam_i, secc_cond, cano_plane, cond
             )
+            if fb > 1:
+                n_valid = min(fb, t - start)
+                for k in range(n_valid):
+                    frame = np.asarray(image[k])
+                    if callback is not None:
+                        callback(start + k, frame)
+                    if not stream_only:
+                        frames.append(frame)
+                continue
             if debug_mode:
                 from real3dportrait_tpu.utils.visualization import (
                     depth_to_colormap, side_by_side, to_uint8,
@@ -399,6 +443,7 @@ class Real3DPortraitPipeline:
         fps: int = 25,
         out_mode: str = "final",              # final | concat_debug
         low_memory: bool = False,
+        frame_batch: int = 1,
     ) -> np.ndarray:
         """Full audio-driven synthesis; returns frames [T,H,W,3] in [-1,1].
 
@@ -414,13 +459,14 @@ class Real3DPortraitPipeline:
             writer = StreamingVideoWriter(out_path, fps=fps)
             frames = self.synthesize(
                 src_img, exp_seq, coeffs, pose_seq=pose_seq, bg_img=bg_img,
-                debug_mode=debug, stream_only=True,
+                debug_mode=debug, stream_only=True, frame_batch=frame_batch,
                 callback=lambda i, f: writer.append(f),
             )
             writer.close()
             return frames
         frames = self.synthesize(src_img, exp_seq, coeffs, pose_seq=pose_seq,
-                                 bg_img=bg_img, debug_mode=debug)
+                                 bg_img=bg_img, debug_mode=debug,
+                                 frame_batch=frame_batch)
         if out_path:
             write_video(frames, out_path, fps=fps, wav=wav)
         return frames

@@ -136,3 +136,19 @@ def test_audio2motion_task_uses_binarized_store(tmp_path):
     batch = jax.tree_util.tree_map(jnp.asarray, batch)
     state, metrics = jax.jit(task.train_step)(state, batch, jax.random.PRNGKey(0))
     assert bool(jnp.isfinite(metrics["total_loss"]))
+
+
+def test_pipeline_frame_batched(pipe):
+    rng = np.random.RandomState(3)
+    src = rng.uniform(-1, 1, (64, 64, 3)).astype(np.float32)
+    feats = rng.randn(24, 1024).astype(np.float32)
+    f0 = np.abs(rng.randn(24)).astype(np.float32) * 200
+    exp_seq = pipe.audio_to_motion(feats, f0)  # 12 frames
+    coeffs = pipe.fit_source(None)
+    ref = pipe.synthesize(src, exp_seq, coeffs, blink_mode="none", frame_batch=1)
+    fast = pipe.synthesize(src, exp_seq, coeffs, blink_mode="none", frame_batch=4)
+    assert fast.shape == ref.shape == (12, 64, 64, 3)
+    np.testing.assert_allclose(fast, ref, atol=2e-3)
+    # non-divisible frame count (12 % 5 != 0) also works
+    fast5 = pipe.synthesize(src, exp_seq, coeffs, blink_mode="none", frame_batch=5)
+    assert fast5.shape == (12, 64, 64, 3)
