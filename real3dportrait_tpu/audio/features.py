@@ -99,8 +99,16 @@ def extract_f0(wav: np.ndarray, sr: int = SAMPLE_RATE,
         else:
             shift = 0.0
         f0[t] = sr / (peak + shift)
-    # pad to the mel frame count convention (center-padded stft adds frames)
-    return f0
+    # align to the mel frame convention: mel frame t is centered at t*HOP
+    # (center-padded stft) while f0 frame t is centered at t*HOP+frame_len/2,
+    # i.e. frame_len/2/HOP = 2 frames later — shift right by 2 and pad to the
+    # mel frame count 1 + len//HOP
+    center_shift = frame_len // (2 * HOP)
+    n_mel_frames = 1 + len(wav) // HOP
+    f0 = np.concatenate([np.zeros((center_shift,), np.float32), f0])
+    if len(f0) < n_mel_frames:
+        f0 = np.pad(f0, (0, n_mel_frames - len(f0)), mode="edge")
+    return f0[:n_mel_frames]
 
 
 def extract_mfcc(wav: np.ndarray, n_mfcc: int = 13, sr: int = SAMPLE_RATE) -> np.ndarray:

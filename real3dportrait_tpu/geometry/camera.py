@@ -184,7 +184,12 @@ def smooth_camera_sequence(camera: jnp.ndarray, kernel_size: int = 7) -> jnp.nda
     passed through. The rotation block is re-orthonormalized via SVD.
     """
     t = camera.shape[0]
-    if t < 2:
+    # reflect padding provides at most t-1 rows per side: clamp the kernel
+    # for short sequences (odd, <= 2t-1)
+    kernel_size = min(kernel_size, 2 * t - 1)
+    if kernel_size % 2 == 0:
+        kernel_size -= 1
+    if t < 2 or kernel_size < 3:
         return camera
     pad = kernel_size // 2
     c2w = camera[:, :16]

@@ -89,7 +89,11 @@ def main():
     )
 
     src = load_image(args.src_img)
-    wav = load_wav(args.drv_aud) if not args.drv_aud.endswith("feat.npy") else None
+    wav, hubert = None, None
+    if args.drv_aud.endswith(".npy"):
+        hubert = np.load(args.drv_aud).astype(np.float32)  # precomputed features
+    else:
+        wav = load_wav(args.drv_aud)
     pose = None
     if args.drv_pose not in ("", "static"):
         pose_arr = np.load(args.drv_pose, allow_pickle=True)
@@ -99,7 +103,7 @@ def main():
     bg = load_image(args.bg_img) if args.bg_img else None
 
     frames = pipe.run(
-        src, wav=wav, pose_seq=pose, bg_img=bg,
+        src, wav=wav, hubert=hubert, pose_seq=pose, bg_img=bg,
         temperature=args.temperature, mouth_amp=args.mouth_amp,
         out_path=args.out_name, fps=args.fps,
         out_mode=args.out_mode, low_memory=args.low_memory_usage,

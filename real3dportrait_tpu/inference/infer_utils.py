@@ -16,7 +16,10 @@ def smooth_features_1d(x: jnp.ndarray, kernel_size: int = 7, sigma: float = 2.0)
     """Gaussian smoothing along the time axis of [T, ...] features
     (`infer_utils.py:71`, smooth_features_xd)."""
     t = x.shape[0]
-    if t < 2:
+    kernel_size = min(kernel_size, 2 * t - 1)
+    if kernel_size % 2 == 0:
+        kernel_size -= 1
+    if t < 2 or kernel_size < 3:
         return x
     half = kernel_size // 2
     g = jnp.exp(-0.5 * ((jnp.arange(kernel_size) - half) / sigma) ** 2)

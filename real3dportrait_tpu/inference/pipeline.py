@@ -95,6 +95,8 @@ class Real3DPortraitPipeline:
             num_samples_fine=int(cfg.get("num_samples_fine", 48)),
             sr_channel0=int(cfg.get("sr_channel0", 256)),
             sr_channel1=int(cfg.get("sr_channel1", 128)),
+            render_bf16=bool(cfg.get("render_bf16", False)),
+            use_fused_decoder=bool(cfg.get("use_fused_decoder", False)),
         )
         if use_torso:
             self.model = OSAvatarSECCImg2PlaneTorso(
@@ -369,7 +371,7 @@ class Real3DPortraitPipeline:
                     jnp.zeros((fb, 3)), jnp.zeros((fb, 3)),
                 )
                 if np.any(blink_percent[idxs] > 0):
-                    edited = np.asarray(tgt_secc)
+                    edited = np.array(tgt_secc)  # writable copy (np.asarray of a jax array is read-only)
                     for k, j in enumerate(idxs):
                         if blink_percent[j] > 0:
                             edited[k] = blink_eye_for_secc(edited[k],

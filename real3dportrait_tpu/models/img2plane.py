@@ -93,7 +93,12 @@ class OSAvatarImg2Plane(nn.Module):
                 scale=self.backbone_scale, plane_channels=self.plane_channels
             )
         self.decoder = OSGDecoder(hidden_dim=64, output_dim=self.triplane_hid_dim)
-        self.superresolution = SuperresolutionHybrid8XDC(
+        self.superresolution = self._make_superresolution()
+
+    def _make_superresolution(self):
+        """SR-head factory; the torso model overrides this with the
+        warp/fusion head (mirrors the reference's `_forward_sr` split)."""
+        return SuperresolutionHybrid8XDC(
             w_dim=self.w_dim,
             sr_num_fp16_res=self.sr_num_fp16_res,
             input_resolution=self.neural_rendering_resolution,
@@ -101,6 +106,12 @@ class OSAvatarImg2Plane(nn.Module):
             block1_channels=self.sr_channel1,
             final_resolution=self.final_resolution,
         )
+
+    def _forward_sr(self, rgb_image, feature_image, ws, weights_image, cond,
+                    noise_mode) -> tuple[jnp.ndarray, dict]:
+        """(sr_image, extra outputs); cond unused by the plain SR head."""
+        return self.superresolution(rgb_image, feature_image, ws,
+                                    noise_mode=noise_mode), {}
 
     def _to_render_layout(self, planes: jnp.ndarray) -> jnp.ndarray:
         """[B,3,H,W,C*D] -> triplane [B,3,H,W,C] or trigrid [B,3,D,H,W,C]."""
@@ -147,6 +158,7 @@ class OSAvatarImg2Plane(nn.Module):
         camera: jnp.ndarray,
         key: jax.Array | None = None,
         noise_mode: str = "none",
+        cond: dict | None = None,
     ) -> dict:
         """Volume-render planes under ``camera`` [B,25] + run SR."""
         c2w, intrinsics = unpack_camera(camera)
@@ -166,10 +178,10 @@ class OSAvatarImg2Plane(nn.Module):
 
         rgb_image = feature_image[..., :3]
         ones_ws = jnp.ones((b, 14, self.w_dim), feature_image.dtype)
-        sr_image = self.superresolution(
-            rgb_image, feature_image, ones_ws, noise_mode=noise_mode
+        sr_image, extra = self._forward_sr(
+            rgb_image, feature_image, ones_ws, weights_image, cond, noise_mode
         )
-        return {
+        ret = {
             "image": jnp.clip(sr_image, -1, 1),
             "image_raw": jnp.clip(rgb_image, -1, 1),
             "image_depth": depth_image,
@@ -177,6 +189,8 @@ class OSAvatarImg2Plane(nn.Module):
             "weights_img": weights_image,
             "plane": planes,
         }
+        ret.update(extra)
+        return ret
 
     def sample_points(self, planes: jnp.ndarray, coordinates: jnp.ndarray,
                       directions: jnp.ndarray | None = None) -> dict:
@@ -199,167 +213,6 @@ class OSAvatarImg2Plane(nn.Module):
 
     def __call__(self, img, camera, **kw) -> dict:
         return self.synthesis(img, camera, **kw)
-
-
-class OSAvatarSECCImg2PlaneTorso(nn.Module):
-    """Head+torso+background model (`modules/real3d/secc_img2plane_torso.py:7`).
-
-    Same head pipeline as :class:`OSAvatarSECCImg2Plane` but the plain SR
-    head is replaced by the warp-based torso/background fusion SR
-    (``SuperresolutionHybrid8XDCWarp``); declared as a wrapper module so the
-    head sub-tree can be partially restored from a secc_img2plane checkpoint.
-    """
-
-    triplane_hid_dim: int = 32
-    triplane_depth: int = 3
-    triplane_feature_type: str = "trigrid"
-    neural_rendering_resolution: int = 128
-    final_resolution: int = 512
-    backbone_scale: str = "b0"
-    secc_segformer_scale: str = "b0"
-    pncc_cond_mode: str = "cano_src_tgt"
-    plane_fusion_mode: str = "add"
-    w_dim: int = 512
-    sr_num_fp16_res: int = 4
-    sr_channel0: int = 256
-    sr_channel1: int = 128
-    num_samples_coarse: int = 48
-    num_samples_fine: int = 48
-    box_warp: float = 1.0
-    ray_near: Any = "auto"
-    ray_far: Any = "auto"
-    torso_kp_num: int = 4
-    torso_scale: str = "standard"
-    fuse_mode: str = "v2"
-    head_threshold: float = 0.9
-    torso_version: str = "v2"
-
-    def setup(self):
-        from real3dportrait_tpu.models.sr_with_ref import SuperresolutionHybrid8XDCWarp
-        from real3dportrait_tpu.models.segformer import (
-            SegFormerImg2PlaneBackbone as _I2P,
-            SegFormerSECC2PlaneBackbone as _S2P,
-        )
-
-        plane_channels = self.triplane_hid_dim * self.triplane_depth
-        self.img2plane_backbone = _I2P(
-            scale=self.backbone_scale, plane_channels=plane_channels
-        )
-        self.secc_img2plane_backbone = _S2P(
-            scale=self.secc_segformer_scale,
-            plane_channels=plane_channels,
-            pncc_cond_mode=self.pncc_cond_mode,
-        )
-        self.decoder = OSGDecoder(hidden_dim=64, output_dim=self.triplane_hid_dim)
-        self.superresolution = SuperresolutionHybrid8XDCWarp(
-            w_dim=self.w_dim,
-            sr_num_fp16_res=self.sr_num_fp16_res,
-            input_resolution=self.neural_rendering_resolution,
-            mid_resolution=self.final_resolution // 2,
-            final_resolution=self.final_resolution,
-            block0_channels=self.sr_channel0,
-            block1_channels=self.sr_channel1,
-            torso_kp_num=self.torso_kp_num,
-            torso_scale=self.torso_scale,
-            fuse_mode=self.fuse_mode,
-            head_threshold=self.head_threshold,
-            torso_version=self.torso_version,
-        )
-
-    @property
-    def render_options(self) -> RenderOptions:
-        return RenderOptions(
-            depth_resolution=self.num_samples_coarse,
-            depth_resolution_importance=self.num_samples_fine,
-            box_warp=self.box_warp,
-            ray_start=self.ray_near,
-            ray_end=self.ray_far,
-        )
-
-    def _to_render_layout(self, planes: jnp.ndarray) -> jnp.ndarray:
-        if self.triplane_feature_type == "triplane":
-            return planes
-        b, k, h, w, cd = planes.shape
-        c, d = self.triplane_hid_dim, self.triplane_depth
-        planes = planes.reshape(b, k, h, w, c, d)
-        return jnp.moveaxis(planes, -1, 2)
-
-    def cal_cano_plane(self, img: jnp.ndarray) -> jnp.ndarray:
-        return self._to_render_layout(self.img2plane_backbone(img))
-
-    def cal_secc_plane(self, secc: jnp.ndarray) -> jnp.ndarray:
-        return self._to_render_layout(self.secc_img2plane_backbone(secc))
-
-    def cal_plane_given_cano(self, cano_plane, secc):
-        secc_plane = self.cal_secc_plane(secc)
-        if self.plane_fusion_mode == "add":
-            return cano_plane + secc_plane
-        return cano_plane * secc_plane
-
-    def sample_points(self, planes, coordinates, directions=None):
-        return run_model(
-            planes, lambda f, d: self.decoder(f, d), coordinates, directions,
-            self.render_options,
-        )
-
-    def synthesis(
-        self,
-        img: jnp.ndarray,
-        camera: jnp.ndarray,
-        cond: dict,
-        secc: jnp.ndarray | None = None,
-        cano_planes: jnp.ndarray | None = None,
-        key: jax.Array | None = None,
-        noise_mode: str = "none",
-    ) -> dict:
-        """``cond`` must carry ``ref_torso_img``, ``bg_img``, ``segmap``,
-        ``kp_src``, ``kp_drv`` (+optional ``target_torso_mask``)."""
-        if cano_planes is None:
-            cano_planes = self.cal_cano_plane(img)
-        planes = (
-            self.cal_plane_given_cano(cano_planes, secc)
-            if secc is not None
-            else cano_planes
-        )
-        c2w, intrinsics = unpack_camera(camera)
-        res = self.neural_rendering_resolution
-        origins, dirs = sample_rays(c2w, intrinsics, res)
-        out = render_rays(
-            planes, lambda f, d: self.decoder(f, d), origins, dirs,
-            self.render_options, key=key,
-        )
-        b = camera.shape[0]
-        feature_image = out["rgb"].reshape(b, res, res, -1)
-        depth_image = out["depth"].reshape(b, res, res, 1)
-        weights_image = out["weights_sum"].reshape(b, res, res, 1)
-        rgb_image = feature_image[..., :3]
-        ones_ws = jnp.ones((b, 14, self.w_dim), feature_image.dtype)
-
-        sr_image, torso_ret = self.superresolution(
-            rgb_image, feature_image, ones_ws,
-            ref_torso_rgb=cond["ref_torso_img"],
-            ref_bg_rgb=cond["bg_img"],
-            weights_img=weights_image,
-            segmap=cond["segmap"],
-            kp_s=cond["kp_src"],
-            kp_d=cond["kp_drv"],
-            target_torso_mask=cond.get("target_torso_mask"),
-            noise_mode=noise_mode,
-        )
-        return {
-            "image": jnp.clip(sr_image, -1, 1),
-            "image_raw": jnp.clip(rgb_image, -1, 1),
-            "image_depth": depth_image,
-            "image_feature": feature_image[..., 3:],
-            "weights_img": weights_image,
-            "plane": planes,
-            "cano_plane": cano_planes,
-            "torso_ret": {k: v for k, v in torso_ret.items() if k != "losses"},
-            "facev2v_losses": torso_ret["losses"],
-        }
-
-    def __call__(self, img, camera, cond, secc=None, **kw) -> dict:
-        return self.synthesis(img, camera, cond, secc=secc, **kw)
 
 
 class OSAvatarSECCImg2Plane(OSAvatarImg2Plane):
@@ -398,6 +251,7 @@ class OSAvatarSECCImg2Plane(OSAvatarImg2Plane):
         cano_planes: jnp.ndarray | None = None,
         key: jax.Array | None = None,
         noise_mode: str = "none",
+        cond: dict | None = None,
     ) -> dict:
         if cano_planes is None:
             cano_planes = self.cal_cano_plane(img)
@@ -406,9 +260,73 @@ class OSAvatarSECCImg2Plane(OSAvatarImg2Plane):
             if secc is not None
             else cano_planes
         )
-        out = self.render_planes(planes, camera, key=key, noise_mode=noise_mode)
+        out = self.render_planes(planes, camera, key=key, noise_mode=noise_mode,
+                                 cond=cond)
         out["cano_plane"] = cano_planes
         return out
 
     def __call__(self, img, camera, secc=None, **kw) -> dict:
         return self.synthesis(img, camera, secc=secc, **kw)
+
+
+class OSAvatarSECCImg2PlaneTorso(OSAvatarSECCImg2Plane):
+    """Head+torso+background model (`modules/real3d/secc_img2plane_torso.py:7`).
+
+    The plain SR head is replaced by the warp-based torso/background fusion
+    SR; everything else (plane caching, SECC fusion, renderer, bf16/fused
+    decoder options) is inherited. ``cond`` must carry ``ref_torso_img``,
+    ``bg_img``, ``segmap``, ``kp_src``, ``kp_drv``
+    (+optional ``target_torso_mask``).
+    """
+
+    torso_kp_num: int = 4
+    torso_scale: str = "standard"
+    fuse_mode: str = "v2"
+    head_threshold: float = 0.9
+    torso_version: str = "v2"
+
+    def _make_superresolution(self):
+        from real3dportrait_tpu.models.sr_with_ref import SuperresolutionHybrid8XDCWarp
+
+        return SuperresolutionHybrid8XDCWarp(
+            w_dim=self.w_dim,
+            sr_num_fp16_res=self.sr_num_fp16_res,
+            input_resolution=self.neural_rendering_resolution,
+            mid_resolution=self.final_resolution // 2,
+            final_resolution=self.final_resolution,
+            block0_channels=self.sr_channel0,
+            block1_channels=self.sr_channel1,
+            torso_kp_num=self.torso_kp_num,
+            torso_scale=self.torso_scale,
+            fuse_mode=self.fuse_mode,
+            head_threshold=self.head_threshold,
+            torso_version=self.torso_version,
+        )
+
+    def _forward_sr(self, rgb_image, feature_image, ws, weights_image, cond,
+                    noise_mode):
+        sr_image, torso_ret = self.superresolution(
+            rgb_image, feature_image, ws,
+            ref_torso_rgb=cond["ref_torso_img"],
+            ref_bg_rgb=cond["bg_img"],
+            weights_img=weights_image,
+            segmap=cond["segmap"],
+            kp_s=cond["kp_src"],
+            kp_d=cond["kp_drv"],
+            target_torso_mask=cond.get("target_torso_mask"),
+            noise_mode=noise_mode,
+        )
+        extra = {
+            "torso_ret": {k: v for k, v in torso_ret.items() if k != "losses"},
+            "facev2v_losses": torso_ret["losses"],
+        }
+        return sr_image, extra
+
+    def synthesis(self, img, camera, cond=None, secc=None, cano_planes=None,
+                  key=None, noise_mode: str = "none") -> dict:
+        assert cond is not None, "torso model requires the cond dict"
+        return super().synthesis(img, camera, secc=secc, cano_planes=cano_planes,
+                                 key=key, noise_mode=noise_mode, cond=cond)
+
+    def __call__(self, img, camera, cond=None, secc=None, **kw) -> dict:
+        return self.synthesis(img, camera, cond=cond, secc=secc, **kw)

@@ -163,6 +163,8 @@ class CompositeImg2PlaneBackbone(nn.Module):
             cam_feat = jnp.broadcast_to(cam_feat[:, None, None, :], (b, h, w, 3))
             x = jnp.concatenate([x, cam_feat], axis=-1)
 
+        # both axes normalized by H, matching the reference exactly
+        # (`img2plane_model.py:60-62`: grid_x/H and grid_y/H)
         gy, gx = jnp.meshgrid(jnp.arange(h) / h, jnp.arange(w) / h, indexing="ij")
         grid = jnp.broadcast_to(jnp.stack([gy, gx], -1)[None], (b, h, w, 2))
         x = jnp.concatenate([x, grid.astype(x.dtype)], axis=-1)

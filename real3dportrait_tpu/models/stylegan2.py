@@ -467,7 +467,9 @@ class MinibatchStdLayer(nn.Module):
         y = y - y.mean(axis=0, keepdims=True)
         y = jnp.sqrt(jnp.mean(jnp.square(y), axis=0) + 1e-8)  # [n/g,H,W,F,ch]
         y = y.mean(axis=(1, 2, 4))  # [n/g, F]
-        y = jnp.repeat(y, g, axis=0).reshape(n, 1, 1, f)
+        # sample k sits at (k // (n/g), k mod (n/g)) in the (g, n/g) reshape,
+        # so its group id is k mod (n/g): tile (torch .repeat), don't repeat
+        y = jnp.tile(y, (g, 1)).reshape(n, 1, 1, f)
         y = jnp.broadcast_to(y, (n, h, w, f)).astype(x.dtype)
         return jnp.concatenate([x, y], axis=-1)
 

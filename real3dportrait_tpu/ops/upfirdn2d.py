@@ -196,11 +196,20 @@ def conv2d_resample(
             feature_group_count=groups,
         )
 
+    # padding adjustments accumulate for BOTH resample directions before any
+    # op runs (`conv2d_resample.py:88-99`)
     if up > 1:
         px0 += (fw + up - 1) // 2
         px1 += (fw - up) // 2
         py0 += (fh + up - 1) // 2
         py1 += (fh - up) // 2
+    if down > 1:
+        px0 += (fw - down + 1) // 2
+        px1 += (fw - down) // 2
+        py0 += (fh - down + 1) // 2
+        py1 += (fh - down) // 2
+
+    if up > 1:
         x = upfirdn2d(x, f, up=up, padding=(px0, px1, py0, py1), gain=up * up)
         x = conv(x)
         if down > 1:
@@ -208,10 +217,6 @@ def conv2d_resample(
         return x
 
     if down > 1:
-        px0 += (fw - down + 1) // 2
-        px1 += (fw - down) // 2
-        py0 += (fh - down + 1) // 2
-        py1 += (fh - down) // 2
         x = upfirdn2d(x, f, padding=(px0, px1, py0, py1))
         return conv(x, stride=down)
 

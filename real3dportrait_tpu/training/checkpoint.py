@@ -60,13 +60,21 @@ def save_checkpoint(
 ) -> str:
     """Atomic save + retention pruning (`trainer.py:511-541`).
 
-    ``not_save_keys``: top-level keys excluded from the checkpoint (frozen
+    ``not_save_keys``: model names excluded from the checkpoint (frozen
     teachers, perceptual nets — the reference's ``not_save_modules``).
+    Matched against top-level keys AND against model names inside
+    ``params``/``variables``/``opt_states`` sub-dicts.
     """
     os.makedirs(work_dir, exist_ok=True)
     host_state = jax.device_get(state)
     if not_save_keys and isinstance(host_state, dict):
-        host_state = {k: v for k, v in host_state.items() if k not in not_save_keys}
+        drop = set(not_save_keys)
+        host_state = {k: v for k, v in host_state.items() if k not in drop}
+        for group in ("params", "variables", "opt_states"):
+            if isinstance(host_state.get(group), dict):
+                host_state[group] = {
+                    k: v for k, v in host_state[group].items() if k not in drop
+                }
     payload = serialization.msgpack_serialize(host_state)
     path = _ckpt_path(work_dir, step)
     tmp = path + ".part"

@@ -186,20 +186,26 @@ class SeccImg2PlaneTask(BaseTask):
         losses["weights_entropy"] = L.weights_entropy_loss(out["weights_img"])
         return losses
 
-    def _g_loss(self, gen_params, disc_params, state, batch, rng):
-        cfg = self.cfg
-        step = state.step
-        r_fwd, r_reg, r_pert = jax.random.split(rng, 3)
-
-        # src2src every N steps: the target becomes the source frame itself
-        interval = int(cfg.get("update_src2src_interval", 16))
-        is_s2s = (step % interval) == 0 if interval > 0 else jnp.asarray(False)
+    def _maybe_src2src(self, state, batch) -> dict:
+        """src2src every N steps: the target becomes the source frame itself
+        (`secc_img2plane_task.py:261`). Applied once per step so G and D see
+        the same camera-consistent (real, fake, conditioning) triple."""
+        interval = int(self.cfg.get("update_src2src_interval", 16))
+        if interval <= 0:
+            return batch
+        is_s2s = (state.step % interval) == 0
         batch = dict(batch)
         batch["tgt_img"] = jnp.where(is_s2s, batch["src_img"], batch["tgt_img"])
         batch["secc_cond"] = jnp.where(
             is_s2s, batch["secc_cond_src"], batch["secc_cond"]
         )
         batch["camera"] = jnp.where(is_s2s, batch["camera_src"], batch["camera"])
+        return batch
+
+    def _g_loss(self, gen_params, disc_params, state, batch, rng):
+        cfg = self.cfg
+        step = state.step
+        r_fwd, r_reg, r_pert = jax.random.split(rng, 3)
 
         out = self._gen_forward(gen_params, state, batch, r_fwd)
         losses: dict = {}
@@ -288,6 +294,7 @@ class SeccImg2PlaneTask(BaseTask):
     def train_step(self, state: TrainState, batch, rng):
         cfg = self.cfg
         rg, rd = jax.random.split(rng)
+        batch = self._maybe_src2src(state, batch)
 
         # G update
         (g_total, (losses, out)), g_grads = jax.value_and_grad(

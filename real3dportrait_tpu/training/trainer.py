@@ -78,8 +78,13 @@ class Trainer:
         if restored is not None:
             from flax import serialization
 
-            state = serialization.from_state_dict(state, restored)
-            print(f"| restored checkpoint {path} at step {int(state.step)}")
+            # lenient merge: keys excluded at save time (not_save_modules,
+            # e.g. frozen teachers) keep their freshly built values
+            target = serialization.to_state_dict(state)
+            merged, stats = ckpt.partial_load(target, restored)
+            state = serialization.from_state_dict(state, merged)
+            print(f"| restored checkpoint {path} at step {int(state.step)} "
+                  f"({stats['loaded']} leaves)")
         init_from = self.cfg.get("init_from_ckpt", "")
         if restored is None and init_from:
             src, path = ckpt.get_last_checkpoint(init_from)
