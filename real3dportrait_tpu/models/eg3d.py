@@ -76,6 +76,14 @@ class TriPlaneGenerator(nn.Module):
     def map_latents(self, z, camera, truncation_psi=1.0, update_emas=False):
         return self.mapping(z, camera, truncation_psi=truncation_psi, update_emas=update_emas)
 
+    def sample_points(self, planes, coordinates, directions=None):
+        """Decode {'rgb','sigma'} at world coords (density reg / shapes,
+        `triplane.py:141` sample_mixed)."""
+        from real3dportrait_tpu.rendering.renderer import run_model
+
+        return run_model(planes, lambda f, d: self.decoder(f, d), coordinates,
+                         directions, self.render_options)
+
     def cal_planes(self, ws, noise_mode: str = "const") -> jnp.ndarray:
         """ws -> tri-plane [B, 3, H, W, C]."""
         planes = self.backbone(ws, noise_mode=noise_mode)

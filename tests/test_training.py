@@ -256,3 +256,25 @@ def test_trainer_loop_smoke(tmp_path):
     trainer2 = Trainer(cfg.replace(max_updates=8), task, work_dir=str(tmp_path))
     state2 = trainer2.fit()
     assert int(jax.device_get(state2.step)) == 8
+
+
+def test_eg3d_task_step():
+    from real3dportrait_tpu.training.tasks.eg3d_task import EG3DTask
+
+    cfg = FrozenConfig({**TINY_GAN, "z_dim": 16, "w_dim": 16,
+                        "teacher_plane_resolution": 16, "gpc_reg_prob": 0.5,
+                        "ema_interval": 10})
+    task = EG3DTask(cfg)
+    state = task.build(jax.random.PRNGKey(0))
+    batch = jax.tree_util.tree_map(jnp.asarray,
+                                   task.synthetic_batch(np.random.RandomState(0)))
+    step = jax.jit(task.train_step)
+    state, metrics = step(state, batch, jax.random.PRNGKey(0))
+    state, metrics = step(state, batch, jax.random.PRNGKey(1))
+    assert int(state.step) == 2
+    assert _leaves_finite(metrics)
+    assert "g/adv" in metrics and "d/r1" in metrics
+    # EMA tracks but lags the generator
+    g0 = jax.tree_util.tree_leaves(state.params["gen"])[0]
+    e0 = jax.tree_util.tree_leaves(state.params["gen_ema"])[0]
+    assert float(jnp.abs(g0 - e0).max()) > 0
