@@ -362,6 +362,10 @@ class SeccImg2PlaneTask(BaseTask):
             "total_loss": g_total,
             "d/loss": d_total,
             "d/r1": r1_val,
+            # NaN/explosion observability (reference print_nan_grads +
+            # trainer.py:420-433 nan scan)
+            "g/grad_norm": optax.global_norm(g_grads),
+            "d/grad_norm": optax.global_norm(d_grads),
         })
         new_params = {"gen": gen_params, "disc": disc_params}
         if "gen_ema" in state.params:

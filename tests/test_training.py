@@ -278,3 +278,48 @@ def test_eg3d_task_step():
     g0 = jax.tree_util.tree_leaves(state.params["gen"])[0]
     e0 = jax.tree_util.tree_leaves(state.params["gen_ema"])[0]
     assert float(jnp.abs(g0 - e0).max()) > 0
+
+
+def test_curriculum_partial_restore(tmp_path):
+    """Stage chaining: a torso task initializes its head modules from a
+    secc_img2plane checkpoint via init_from_ckpt (the reference's
+    load_ckpt curriculum, secc_img2plane_torso_task.py:64-76)."""
+    import jax
+
+    from flax import serialization
+
+    from real3dportrait_tpu.training import checkpoint as ckpt
+    from real3dportrait_tpu.training.tasks.secc_img2plane_task import SeccImg2PlaneTask
+    from real3dportrait_tpu.training.tasks.secc_img2plane_torso_task import (
+        SeccImg2PlaneTorsoTask,
+    )
+    from real3dportrait_tpu.training.trainer import Trainer
+
+    cfg = FrozenConfig({**TINY_GAN, "batch_size": 1, "torso_model_scale": "tiny"})
+    head_task = SeccImg2PlaneTask(cfg)
+    head_state = head_task.build(jax.random.PRNGKey(7))
+    head_dir = str(tmp_path / "secc_head")
+    ckpt.save_checkpoint(head_dir, 5, serialization.to_state_dict(head_state))
+
+    torso_cfg = cfg.replace(init_from_ckpt=head_dir, max_updates=0,
+                            num_sanity_val_steps=0)
+    torso_task = SeccImg2PlaneTorsoTask(torso_cfg)
+    trainer = Trainer(torso_cfg, torso_task, work_dir=str(tmp_path / "torso"))
+    state = trainer.init_or_restore(jax.random.PRNGKey(0))
+
+    # head submodules (matching shapes) copied from the secc checkpoint
+    src = head_state.params["gen"]["secc_img2plane_backbone"]
+    dst = state.params["gen"]["secc_img2plane_backbone"]
+    diffs = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.abs(jnp.asarray(a) - jnp.asarray(b)).max()), src, dst
+    )
+    assert max(jax.tree_util.tree_leaves(diffs)) == 0.0
+
+
+def test_parallel_map():
+    from real3dportrait_tpu.preprocess.parallel_map import iter_parallel, parallel_map
+
+    out = parallel_map(lambda x: x * x, range(10), num_workers=3, use_threads=True)
+    assert out == [i * i for i in range(10)]
+    pairs = dict(iter_parallel(lambda x: -x, range(5), num_workers=2))
+    assert pairs == {i: -i for i in range(5)}
