@@ -133,21 +133,46 @@ def synthetic_bfm(
 ) -> BFMAssets:
     """A deterministic small stand-in morphable model for tests/benchmarks.
 
-    Vertices sit on a unit sphere scaled to the face-box scale of BFM09
-    (~±1e0 in model units before the 0.27 EG3D rescale); bases are random but
-    small so shapes stay plausible. The triangulation is a fan over random
-    triplets — topologically meaningless but structurally valid for
-    rasterizer and renderer smoke tests.
+    Vertices form a lat-long grid sphere scaled to the face-box scale of
+    BFM09 (~±1e0 model units before the 0.27 EG3D rescale) with a proper
+    local triangulation — face sizes then match the real mesh's statistics
+    (tiny, local triangles), which the rasterizer's size bucketing relies
+    on. Bases are random but small so shapes stay plausible.
     """
     rng = np.random.RandomState(seed)
-    pts = rng.randn(n_vertices, 3)
-    pts /= np.linalg.norm(pts, axis=1, keepdims=True) + 1e-9
+    rows = max(int(np.sqrt(n_vertices / 2)), 2)
+    cols = max(n_vertices // rows, 2)
+    n_grid = rows * cols
+    theta = np.linspace(0.15, np.pi - 0.15, rows)          # polar
+    phi = np.linspace(0, 2 * np.pi, cols, endpoint=False)  # azimuth
+    tt, pp = np.meshgrid(theta, phi, indexing="ij")
+    pts = np.stack(
+        [np.sin(tt) * np.cos(pp), np.cos(tt), np.sin(tt) * np.sin(pp)], axis=-1
+    ).reshape(-1, 3)
+    # pad to exactly n_vertices with jittered copies (degenerate-free extras)
+    if n_grid < n_vertices:
+        extra = pts[: n_vertices - n_grid] * 0.999
+        pts = np.concatenate([pts, extra], axis=0)
+    pts = pts[:n_vertices]
     mean_shape = (pts * 0.9).astype(np.float32).reshape(-1)
+
+    def vid(r, c):
+        return r * cols + (c % cols)
+
+    quads = [
+        (vid(r, c), vid(r + 1, c), vid(r + 1, c + 1), vid(r, c + 1))
+        for r in range(rows - 1)
+        for c in range(cols)
+    ]
+    face_buf = np.array(
+        [(a, b, c) for a, b, c, d in quads] + [(a, c, d) for a, b, c, d in quads],
+        np.int64,
+    )
+    face_buf = face_buf[(face_buf < n_vertices).all(axis=1)]
+
     id_base = (rng.randn(3 * n_vertices, n_id) * 1e-3).astype(np.float32)
     exp_base = (rng.randn(3 * n_vertices, n_exp) * 1e-3).astype(np.float32)
     kp = rng.choice(n_vertices, size=n_keypoints, replace=False).astype(np.int64)
-    n_faces = max(4, 2 * n_vertices - 4)
-    face_buf = rng.randint(0, n_vertices, size=(n_faces, 3)).astype(np.int64)
     ncc = _default_ncc_code(mean_shape)
     return _make_assets(mean_shape, id_base, exp_base, kp, face_buf, ncc)
 

@@ -2,22 +2,29 @@
 
 Equivalent of `deep_3drecon/secc_renderer.py:10`: the BFM face mesh, colored
 with the fixed NCC code and with the eyeball faces removed, is rasterized
-from the fitted (id, exp, euler, trans) coefficients into a 512² map in
-[-1, 1] plus a coverage mask. Runs fully on-device via the XLA rasterizer —
-the per-frame SECC render is part of the jitted frame step at inference
-(no host round-trip), unlike the reference's chunked pytorch3d calls.
+from the fitted (id, exp, euler, trans) coefficients into a map in [-1, 1]
+plus a coverage mask.
+
+The whole chain — coefficients -> vertices -> sorted z-buffer -> NCC map —
+is ONE jitted graph (eager per-op dispatch through the tunnel costs more
+than the compute). Faces are statically bucketed by projected size so small
+triangles emit small candidate patches (`rasterize_grouped`).
 """
 
 from __future__ import annotations
 
 import os
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
 from real3dportrait_tpu.geometry import bfm as bfm_ops
 from real3dportrait_tpu.geometry.bfm import BFMAssets
-from real3dportrait_tpu.geometry.rasterizer import rasterize
+from real3dportrait_tpu.geometry.rasterizer import (
+    rasterize_grouped,
+    split_faces_by_size,
+)
 
 
 def load_eye_free_faces(assets: BFMAssets, bfm_dir: str | None) -> jnp.ndarray:
@@ -35,7 +42,7 @@ def load_eye_free_faces(assets: BFMAssets, bfm_dir: str | None) -> jnp.ndarray:
 
 
 class SECCRenderer:
-    """Stateless configuration holder; ``render`` is a pure jittable fn."""
+    """Holds static rasterization config; ``render`` is one jitted graph."""
 
     def __init__(
         self,
@@ -43,16 +50,35 @@ class SECCRenderer:
         bfm_dir: str | None = None,
         rasterize_size: int = 512,
         patch_size: int = 16,
-        face_chunk: int = 8192,
+        face_chunk: int = 8192,  # kept for API compat; sorted path ignores it
     ):
         self.assets = assets
         self.faces = load_eye_free_faces(assets, bfm_dir)
         self.rasterize_size = rasterize_size
-        self.patch_size = patch_size
-        self.face_chunk = face_chunk
         # NCC colors are stored in [-1,1]; rasterize in [0,1] then rescale,
         # matching `(secc - 0.5)/0.5` of the reference (`secc_renderer.py:53`)
-        self.ncc_01 = (assets.ncc_code + 1.0) / 2.0
+        ncc_01 = (assets.ncc_code + 1.0) / 2.0
+
+        groups = split_faces_by_size(
+            np.asarray(assets.mean_shape).reshape(-1, 3),
+            np.asarray(self.faces),
+            focal=1015.0, center=112.0, image_size=rasterize_size,
+            buckets=(2, 4, 8, max(16, patch_size)),
+        )
+
+        def _render(id_coeff, exp_coeff, euler, trans):
+            verts = bfm_ops.compute_face_vertex(assets, id_coeff, exp_coeff,
+                                                euler, trans)
+            out = rasterize_grouped(
+                verts, groups, ncc_01, image_size=rasterize_size
+            )
+            mask = out["mask"][..., None]
+            # rasterized image is 0 outside the mask, so the rescale maps
+            # the background to -1 exactly like the reference
+            secc = out["image"] * 2.0 - 1.0
+            return mask, secc
+
+        self._render_jit = jax.jit(_render)
 
     def render(
         self,
@@ -73,20 +99,7 @@ class SECCRenderer:
             exp_coeff = exp_coeff.reshape(b * t, -1)
             euler = euler.reshape(b * t, -1)
             trans = trans.reshape(b * t, -1)
-
-        verts = bfm_ops.compute_face_vertex(self.assets, id_coeff, exp_coeff, euler, trans)
-        out = rasterize(
-            verts,
-            self.faces,
-            self.ncc_01,
-            image_size=self.rasterize_size,
-            patch_size=self.patch_size,
-            face_chunk=self.face_chunk,
-        )
-        mask = out["mask"][..., None]
-        # rasterized image is 0 outside the mask, so the rescale maps the
-        # background to -1 exactly like the reference
-        secc = out["image"] * 2.0 - 1.0
+        mask, secc = self._render_jit(id_coeff, exp_coeff, euler, trans)
         if btc:
             mask = mask.reshape(b, t, *mask.shape[1:])
             secc = secc.reshape(b, t, *secc.shape[1:])

@@ -109,3 +109,24 @@ def test_secc_renderer_btc():
     )
     assert mask.shape == (2, 3, 32, 32, 1)
     assert secc.shape == (2, 3, 32, 32, 3)
+
+
+def test_sorted_matches_scatter():
+    from real3dportrait_tpu.geometry.rasterizer import rasterize_scatter, rasterize_sorted
+
+    assets = synthetic_bfm(n_vertices=512, n_keypoints=68)
+    verts = jnp.asarray(np.asarray(assets.mean_shape).reshape(1, -1, 3))
+    verts = verts.at[..., 2].set(10.0 - verts[..., 2])
+    faces = jnp.asarray(np.asarray(assets.face_buf), jnp.int32)
+    attrs = jnp.asarray(np.asarray(assets.ncc_code))
+    a = rasterize_scatter(verts, faces, attrs, image_size=64, patch_size=16,
+                          face_chunk=512)
+    b = rasterize_sorted(verts, faces, attrs, image_size=64, patch_size=16)
+    np.testing.assert_array_equal(np.asarray(a["mask"]), np.asarray(b["mask"]))
+    # depths agree up to the key quantization (~0.4mm at 64px)
+    np.testing.assert_allclose(np.asarray(a["depth"]), np.asarray(b["depth"]),
+                               atol=2e-3)
+    # attribute images agree except where equal-depth ties picked different
+    # winners: compare at the overwhelming majority of pixels
+    diff = np.abs(np.asarray(a["image"]) - np.asarray(b["image"])).max(-1)
+    assert (diff < 2e-2).mean() > 0.99
