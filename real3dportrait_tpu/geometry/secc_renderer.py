@@ -51,10 +51,20 @@ class SECCRenderer:
         rasterize_size: int = 512,
         patch_size: int = 16,
         face_chunk: int = 8192,  # kept for API compat; sorted path ignores it
+        output_resolution: int | None = None,
     ):
+        """``rasterize_size`` is the z-buffer resolution; ``output_resolution``
+        (default: same) bilinearly upsamples the SECC/mask maps afterwards.
+
+        Rasterizing at 256² and upsampling to the 512² cond-map size quarters
+        the candidate count — the rasterizer is the end-to-end inference
+        bottleneck (BASELINE.md round-1) while the SECC maps are smooth NCC
+        color fields, so the upsample is visually lossless for conditioning.
+        """
         self.assets = assets
         self.faces = load_eye_free_faces(assets, bfm_dir)
         self.rasterize_size = rasterize_size
+        self.output_resolution = output_resolution or rasterize_size
         # NCC colors are stored in [-1,1]; rasterize in [0,1] then rescale,
         # matching `(secc - 0.5)/0.5` of the reference (`secc_renderer.py:53`)
         ncc_01 = (assets.ncc_code + 1.0) / 2.0
@@ -76,6 +86,11 @@ class SECCRenderer:
             # rasterized image is 0 outside the mask, so the rescale maps
             # the background to -1 exactly like the reference
             secc = out["image"] * 2.0 - 1.0
+            if self.output_resolution != rasterize_size:
+                b = secc.shape[0]
+                r = self.output_resolution
+                secc = jax.image.resize(secc, (b, r, r, 3), method="bilinear")
+                mask = jax.image.resize(mask, (b, r, r, 1), method="bilinear")
             return mask, secc
 
         self._render_jit = jax.jit(_render)

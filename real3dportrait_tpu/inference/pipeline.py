@@ -67,9 +67,13 @@ class Real3DPortraitPipeline:
 
         # geometry
         self.assets = load_or_synthetic_bfm(bfm_dir)
+        # Rasterize the SECC z-buffer at a reduced resolution (default 256²;
+        # the rasterizer is the per-frame bottleneck) and bilinearly upsample
+        # the smooth NCC cond maps to the backbone's input size.
         self.secc_renderer = SECCRenderer(
             self.assets, bfm_dir,
-            rasterize_size=int(cfg.get("secc_resolution", cfg.get("final_resolution", 512))),
+            rasterize_size=int(cfg.get("secc_resolution", 256)),
+            output_resolution=int(cfg.get("final_resolution", 512)),
         )
 
         # audio2motion

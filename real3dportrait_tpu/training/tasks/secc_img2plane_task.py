@@ -401,10 +401,12 @@ class SeccImg2PlaneTask(BaseTask):
 
             bfm_dir = self.cfg.get("bfm_dir")
             assets = load_or_synthetic_bfm(bfm_dir)
+            # z-buffer at secc_resolution (256² default; raster cost scales
+            # with candidate count), upsampled to the cond-map size
             self._secc_r = SECCRenderer(
                 assets, bfm_dir,
-                rasterize_size=int(self.cfg.get("secc_cond_resolution",
-                                                self.cfg.get("final_resolution", 512))),
+                rasterize_size=int(self.cfg.get("secc_resolution", 256)),
+                output_resolution=int(self.cfg.get("final_resolution", 512)),
             )
         return self._secc_r
 
