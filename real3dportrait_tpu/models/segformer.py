@@ -27,6 +27,9 @@ from flax import linen as nn
 # MiT variants: (embed_dims, num_heads, depths); all share mlp_ratio 4 and
 # sr_ratios (8, 4, 2, 1)  (`segformer.py:407-461`).
 MIT_CONFIGS: dict[str, dict] = {
+    # "nano" is ours (not in the reference): a minimal-op-count variant for
+    # CI / multi-chip dryruns where compile time matters more than capacity.
+    "nano": {"embed_dims": (8, 16, 40, 32), "depths": (1, 1, 1, 1)},
     "b0": {"embed_dims": (32, 64, 160, 256), "depths": (2, 2, 2, 2)},
     "b1": {"embed_dims": (64, 128, 320, 512), "depths": (2, 2, 2, 2)},
     "b2": {"embed_dims": (64, 128, 320, 512), "depths": (3, 4, 6, 3)},

@@ -86,12 +86,14 @@ class SeccImg2PlaneTask(BaseTask):
             jnp.asarray, self.synthetic_batch(np.random.RandomState(0))
         )
         r1, r2, r3 = jax.random.split(rng, 3)
-        gen_vars = self.gen.init(
+        # jit the inits: eager (op-by-op) flax init of these graphs costs
+        # minutes of dispatch overhead on CPU; compiled init is seconds.
+        gen_vars = jax.jit(self.gen.init)(
             {"params": r1, "noise": r2},
             batch["src_img"], batch["camera"], secc=batch["secc_cond"],
             **self._gen_apply_kwargs(batch),
         )
-        disc_vars = self.disc.init(
+        disc_vars = jax.jit(self.disc.init)(
             r3, batch["tgt_img"],
             jnp.zeros_like(batch["tgt_img"][:, : self.gen.neural_rendering_resolution,
                                             : self.gen.neural_rendering_resolution]),
