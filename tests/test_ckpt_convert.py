@@ -1,0 +1,262 @@
+"""Numerical parity tests for the torch->flax checkpoint converter.
+
+Strategy (VERDICT round-1 item 3): instantiate the *reference* torch module
+with random weights, convert its state_dict with ``tools/convert_torch_ckpt``,
+run the same inputs through our flax module, and require the outputs to agree.
+This proves the converter (and the architectural parity it depends on) without
+needing the released checkpoints.
+
+The reference repo is mounted read-only at /root/reference; these tests import
+its modules as an oracle only. Skipped wholesale if it is unavailable.
+"""
+
+from __future__ import annotations
+
+import sys
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+REF = "/root/reference"
+
+
+@pytest.fixture(scope="module")
+def ref():
+    """Import the reference networks_stylegan2 (and friends) as an oracle."""
+    if REF not in sys.path:
+        sys.path.insert(0, REF)
+    try:
+        from modules.eg3ds.models import networks_stylegan2 as ns2
+    except Exception as exc:  # pragma: no cover - env without the reference
+        pytest.skip(f"reference not importable: {exc}")
+    return ns2
+
+
+def _sd(mod):
+    return {k: v.detach().cpu().numpy() for k, v in mod.state_dict().items()}
+
+
+def _nhwc(t: "torch.Tensor") -> np.ndarray:
+    return t.detach().cpu().numpy().transpose(0, 2, 3, 1)
+
+
+def _agree(ours, theirs, tol=1e-4, msg=""):
+    np.testing.assert_allclose(
+        np.asarray(ours, np.float32), np.asarray(theirs, np.float32),
+        rtol=tol, atol=tol, err_msg=msg,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Leaf layers
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("act,lr_mul,bias_init", [
+    ("linear", 1.0, 0.0), ("lrelu", 0.01, 1.0),
+])
+def test_fully_connected_parity(ref, act, lr_mul, bias_init):
+    import jax.numpy as jnp
+
+    from real3dportrait_tpu.models import FullyConnectedLayer
+    from tools.convert_torch_ckpt import convert_state_dict
+
+    torch.manual_seed(0)
+    tm = ref.FullyConnectedLayer(6, 10, activation=act,
+                                 lr_multiplier=lr_mul, bias_init=bias_init)
+    x = np.random.RandomState(0).randn(3, 6).astype(np.float32)
+    want = tm(torch.from_numpy(x)).detach().numpy()
+
+    fm = FullyConnectedLayer(10, activation=act, lr_multiplier=lr_mul,
+                             bias_init=bias_init)
+    variables = convert_state_dict(_sd(tm))
+    got = fm.apply(variables, jnp.asarray(x))
+    _agree(got, want)
+
+
+@pytest.mark.parametrize("up,down", [(1, 1), (2, 1), (1, 2)])
+def test_conv2d_layer_parity(ref, up, down):
+    import jax.numpy as jnp
+
+    from real3dportrait_tpu.models.stylegan2 import Conv2dLayer
+    from tools.convert_torch_ckpt import convert_state_dict
+
+    torch.manual_seed(1)
+    tm = ref.Conv2dLayer(4, 7, kernel_size=3, activation="lrelu",
+                         up=up, down=down, conv_clamp=256.0)
+    x = np.random.RandomState(1).randn(2, 4, 8, 8).astype(np.float32)
+    want = _nhwc(tm(torch.from_numpy(x)))
+
+    fm = Conv2dLayer(7, kernel_size=3, activation="lrelu", up=up, down=down,
+                     conv_clamp=256.0)
+    variables = convert_state_dict(_sd(tm))
+    got = fm.apply(variables, jnp.asarray(x.transpose(0, 2, 3, 1)))
+    _agree(got, want, msg=f"up={up} down={down}")
+
+
+def test_mapping_network_parity(ref):
+    import jax.numpy as jnp
+
+    from real3dportrait_tpu.models import MappingNetwork
+    from tools.convert_torch_ckpt import convert_state_dict
+
+    torch.manual_seed(2)
+    tm = ref.MappingNetwork(z_dim=16, c_dim=12, w_dim=24, num_ws=5, num_layers=3)
+    rs = np.random.RandomState(2)
+    z = rs.randn(4, 16).astype(np.float32)
+    c = rs.randn(4, 12).astype(np.float32)
+    # seed w_avg with something non-zero so truncation is a real test
+    tm.w_avg.copy_(torch.from_numpy(rs.randn(24).astype(np.float32)))
+    want = tm(torch.from_numpy(z), torch.from_numpy(c),
+              truncation_psi=0.6).detach().numpy()
+
+    fm = MappingNetwork(z_dim=16, c_dim=12, w_dim=24, num_ws=5, num_layers=3)
+    variables = convert_state_dict(_sd(tm))
+    got = fm.apply(variables, jnp.asarray(z), jnp.asarray(c), truncation_psi=0.6)
+    _agree(got, want)
+
+
+def test_synthesis_layer_parity(ref):
+    import jax.numpy as jnp
+
+    from real3dportrait_tpu.models.stylegan2 import SynthesisLayer
+    from tools.convert_torch_ckpt import convert_state_dict
+
+    torch.manual_seed(3)
+    tm = ref.SynthesisLayer(5, 9, w_dim=12, resolution=16, up=2,
+                            conv_clamp=256.0)
+    rs = np.random.RandomState(3)
+    x = rs.randn(2, 5, 8, 8).astype(np.float32)
+    w = rs.randn(2, 12).astype(np.float32)
+    want = _nhwc(tm(torch.from_numpy(x), torch.from_numpy(w),
+                    noise_mode="const", fused_modconv=False))
+
+    fm = SynthesisLayer(9, w_dim=12, resolution=16, up=2, conv_clamp=256.0)
+    variables = convert_state_dict(_sd(tm))
+    got = fm.apply(variables, jnp.asarray(x.transpose(0, 2, 3, 1)),
+                   jnp.asarray(w), noise_mode="const")
+    _agree(got, want)
+
+
+def test_torgb_layer_parity(ref):
+    import jax.numpy as jnp
+
+    from real3dportrait_tpu.models.stylegan2 import ToRGBLayer
+    from tools.convert_torch_ckpt import convert_state_dict
+
+    torch.manual_seed(4)
+    tm = ref.ToRGBLayer(6, 3, w_dim=12, conv_clamp=256.0)
+    rs = np.random.RandomState(4)
+    x = rs.randn(2, 6, 8, 8).astype(np.float32)
+    w = rs.randn(2, 12).astype(np.float32)
+    want = _nhwc(tm(torch.from_numpy(x), torch.from_numpy(w), fused_modconv=False))
+
+    fm = ToRGBLayer(3, w_dim=12, conv_clamp=256.0)
+    variables = convert_state_dict(_sd(tm))
+    got = fm.apply(variables, jnp.asarray(x.transpose(0, 2, 3, 1)), jnp.asarray(w))
+    _agree(got, want)
+
+
+# ---------------------------------------------------------------------------
+# Composite networks
+# ---------------------------------------------------------------------------
+
+
+def test_generator_parity(ref):
+    import jax.numpy as jnp
+
+    from real3dportrait_tpu.models import Generator
+    from tools.convert_torch_ckpt import convert_stylegan2_generator
+
+    torch.manual_seed(5)
+    tm = ref.Generator(z_dim=16, c_dim=0, w_dim=24, img_resolution=32,
+                       img_channels=3, mapping_kwargs={"num_layers": 2},
+                       channel_base=1024, channel_max=64, num_fp16_res=0)
+    z = np.random.RandomState(5).randn(2, 16).astype(np.float32)
+    want = _nhwc(tm(torch.from_numpy(z), None, noise_mode="const"))
+
+    fm = Generator(z_dim=16, c_dim=0, w_dim=24, img_resolution=32,
+                   img_channels=3, mapping_layers=2,
+                   channel_base=1024, channel_max=64, num_fp16_res=0)
+    variables = convert_stylegan2_generator(_sd(tm))
+    got = fm.apply(variables, jnp.asarray(z), None, noise_mode="const")
+    _agree(got, want, tol=2e-4)
+
+
+def test_discriminator_parity(ref):
+    import jax.numpy as jnp
+
+    from real3dportrait_tpu.models import Discriminator
+    from tools.convert_torch_ckpt import convert_stylegan2_discriminator
+
+    torch.manual_seed(6)
+    tm = ref.Discriminator(c_dim=8, img_resolution=32, img_channels=3,
+                           channel_base=1024, channel_max=64, num_fp16_res=0,
+                           mapping_kwargs={"num_layers": 2},
+                           epilogue_kwargs={"mbstd_group_size": 2})
+    rs = np.random.RandomState(6)
+    img = rs.randn(4, 3, 32, 32).astype(np.float32)
+    c = rs.randn(4, 8).astype(np.float32)
+    want = tm(torch.from_numpy(img), torch.from_numpy(c)).detach().numpy()
+
+    fm = Discriminator(c_dim=8, img_resolution=32, img_channels=3,
+                       channel_base=1024, channel_max=64, num_fp16_res=0,
+                       mapping_layers=2, mbstd_group_size=2)
+    variables = convert_stylegan2_discriminator(_sd(tm))
+    got = fm.apply(variables, jnp.asarray(img.transpose(0, 2, 3, 1)),
+                   jnp.asarray(c))
+    _agree(got, want, tol=2e-4)
+
+
+def test_osg_decoder_parity(ref):
+    import jax.numpy as jnp
+
+    from real3dportrait_tpu.models import OSGDecoder
+    from tools.convert_torch_ckpt import convert_osg_decoder
+
+    sys.path.insert(0, REF) if REF not in sys.path else None
+    from modules.eg3ds.models.triplane import OSGDecoder as TorchOSG
+
+    torch.manual_seed(7)
+    tm = TorchOSG(20, {"decoder_lr_mul": 1.0, "decoder_output_dim": 32})
+    feats = np.random.RandomState(7).randn(2, 3, 40, 20).astype(np.float32)
+    want = tm(torch.from_numpy(feats), None)
+    fm = OSGDecoder(hidden_dim=64, output_dim=32)
+    variables = convert_osg_decoder(_sd(tm))
+    got = fm.apply(variables, jnp.asarray(feats))
+    _agree(got["rgb"], want["rgb"].detach().numpy())
+    _agree(got["sigma"], want["sigma"].detach().numpy())
+
+
+@pytest.mark.slow
+def test_superresolution_8xdc_parity(ref):
+    import jax.numpy as jnp
+
+    from real3dportrait_tpu.models import SuperresolutionHybrid8XDC
+    from tools.convert_torch_ckpt import convert_superresolution
+
+    sys.path.insert(0, REF) if REF not in sys.path else None
+    from modules.eg3ds.models.superresolution import (
+        SuperresolutionHybrid8XDC as TorchSR,
+    )
+
+    torch.manual_seed(8)
+    tm = TorchSR(channels=32, img_resolution=512, sr_num_fp16_res=0,
+                 sr_antialias=True)
+    rs = np.random.RandomState(8)
+    rgb = rs.randn(1, 3, 128, 128).astype(np.float32)
+    x = rs.randn(1, 32, 128, 128).astype(np.float32)
+    ws = rs.randn(1, 3, 512).astype(np.float32)
+    with torch.no_grad():
+        want = _nhwc(tm(torch.from_numpy(rgb), torch.from_numpy(x),
+                        torch.from_numpy(ws), noise_mode="const",
+                        fused_modconv=False))
+
+    fm = SuperresolutionHybrid8XDC(sr_num_fp16_res=0)
+    variables = convert_superresolution(_sd(tm))
+    got = fm.apply(variables, jnp.asarray(rgb.transpose(0, 2, 3, 1)),
+                   jnp.asarray(x.transpose(0, 2, 3, 1)), jnp.asarray(ws),
+                   noise_mode="const")
+    _agree(got, want, tol=3e-4)

@@ -1,0 +1,255 @@
+"""Torch -> Flax checkpoint converter for the reference released weights.
+
+Maps the reference's torch ``state_dict`` layouts (dotted module names, OIHW
+convs, ``[out,in]`` dense weights, registered buffers — see
+``modules/eg3ds/models/networks_stylegan2.py:37-813`` and
+``utils/commons/ckpt_utils.py:29`` in the reference) onto this package's Flax
+variable trees (nested dicts, HWIO convs, ``[in,out]`` dense weights, separate
+``ema``/``noise_const`` collections).
+
+Design: this repo's Flax modules intentionally reuse the reference's submodule
+names (``conv0``, ``affine``, ``b{res}``, ``fc{i}``, ``torgb`` ...), so
+conversion is a generic dotted-name walk with
+
+* shape-directed leaf transforms (2-D dense -> transpose, 4-D conv
+  OIHW -> HWIO, ``const`` CHW -> HWC),
+* buffer routing (``noise_const`` -> the ``noise_const`` collection,
+  ``w_avg`` -> ``ema``; ``resample_filter`` buffers are recomputed, skipped),
+* optional per-family regex renames where the trees genuinely differ.
+
+``verify_tree`` checks a converted tree leaf-by-leaf against a template from
+``model.init`` so mismatches surface as named diffs, not apply-time errors.
+
+Per-module numerical parity vs the torch reference (random weights -> convert
+-> outputs agree) is exercised in ``tests/test_ckpt_convert.py``.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Callable, Iterable, Mapping
+
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# Leaf transforms
+# ---------------------------------------------------------------------------
+
+# buffers that are deterministic functions of hyperparameters — recomputed by
+# the flax modules, never loaded
+_SKIP_LEAVES = ("resample_filter", "ones_ws", "plane_axes")
+
+
+def _to_np(t) -> np.ndarray:
+    if isinstance(t, np.ndarray):
+        return t
+    try:  # torch tensor without importing torch at module scope
+        return t.detach().cpu().numpy()
+    except AttributeError:
+        return np.asarray(t)
+
+
+def convert_leaf(parts: tuple[str, ...], arr: np.ndarray):
+    """One state_dict entry -> (collection, path, array) or None to skip.
+
+    Default rules cover every StyleGAN2-family module; families with
+    different conventions pre-rename names before calling this.
+    """
+    leaf = parts[-1]
+    if leaf in _SKIP_LEAVES or leaf.startswith("_"):
+        return None
+    if leaf == "noise_const":  # torch buffer [res,res] -> noise_const/.../noise
+        return ("noise_const", parts[:-1] + ("noise",), arr)
+    if leaf == "w_avg":  # MappingNetwork EMA buffer
+        return ("ema", parts, arr)
+    if leaf == "const" and arr.ndim == 3:  # [C,H,W] -> [H,W,C]
+        return ("params", parts, np.ascontiguousarray(arr.transpose(1, 2, 0)))
+    if leaf == "weight":
+        if arr.ndim == 4:  # conv OIHW -> HWIO
+            arr = np.ascontiguousarray(arr.transpose(2, 3, 1, 0))
+        elif arr.ndim == 2:  # dense [out,in] -> [in,out]
+            arr = np.ascontiguousarray(arr.T)
+        return ("params", parts, arr)
+    # bias, noise_strength, scalars, 1-D embeddings, norm scales ...
+    return ("params", parts, arr)
+
+
+# ---------------------------------------------------------------------------
+# Tree plumbing
+# ---------------------------------------------------------------------------
+
+
+def _set_path(tree: dict, path: tuple[str, ...], value) -> None:
+    node = tree
+    for p in path[:-1]:
+        node = node.setdefault(p, {})
+    if path[-1] in node:
+        raise ValueError(f"duplicate path {path}")
+    node[path[-1]] = value
+
+
+def convert_state_dict(
+    sd: Mapping[str, "np.ndarray"],
+    renames: Iterable[tuple[str, str]] = (),
+    skip: Iterable[str] = (),
+    leaf_fn: Callable = convert_leaf,
+) -> dict:
+    """Torch flat state_dict -> nested flax variables dict.
+
+    ``renames`` are ``(regex, replacement)`` pairs applied (in order, all of
+    them) to each dotted torch name before the generic walk. ``skip`` are
+    regexes; a name matching any is dropped.
+    """
+    skip_res = [re.compile(s) for s in skip]
+    out: dict[str, dict] = {}
+    for name, tensor in sd.items():
+        if any(s.search(name) for s in skip_res):
+            continue
+        for pat, repl in renames:
+            name = re.sub(pat, repl, name)
+        entry = leaf_fn(tuple(name.split(".")), _to_np(tensor))
+        if entry is None:
+            continue
+        collection, path, arr = entry
+        _set_path(out.setdefault(collection, {}), path, np.asarray(arr))
+    return out
+
+
+def tree_leaves_with_paths(tree, prefix=()):
+    if isinstance(tree, Mapping):
+        for k in sorted(tree):
+            yield from tree_leaves_with_paths(tree[k], prefix + (str(k),))
+    else:
+        yield prefix, tree
+
+
+def verify_tree(converted: Mapping, template: Mapping) -> list[str]:
+    """Compare converted vs template (from ``model.init``); return problems."""
+    conv = {p: np.shape(v) for p, v in tree_leaves_with_paths(converted)}
+    temp = {p: np.shape(v) for p, v in tree_leaves_with_paths(template)}
+    problems = []
+    for p, s in temp.items():
+        if p not in conv:
+            problems.append(f"missing   {'.'.join(p)} {s}")
+        elif conv[p] != s:
+            problems.append(f"shape     {'.'.join(p)}: ckpt {conv[p]} != model {s}")
+    for p, s in conv.items():
+        if p not in temp:
+            problems.append(f"extra     {'.'.join(p)} {s}")
+    return problems
+
+
+def fit_to_template(converted: Mapping, template: Mapping, strict: bool = True):
+    """Return ``converted`` cast/reshaped onto ``template``'s dtypes.
+
+    With ``strict=False``, missing leaves keep the template's value and
+    shape-mismatched leaves are skipped (the reference's lenient
+    ``load_ckpt(strict=False)`` semantics, ``utils/commons/ckpt_utils.py:54``).
+    """
+    import jax.numpy as jnp
+
+    problems = verify_tree(converted, template)
+    hard = [p for p in problems if not p.startswith("extra")]
+    if strict and problems:
+        raise ValueError("converted tree does not match template:\n  "
+                         + "\n  ".join(problems))
+
+    def merge(conv_node, temp_node):
+        if not isinstance(temp_node, Mapping):
+            if conv_node is None:
+                return temp_node
+            arr = np.asarray(conv_node)
+            if np.shape(arr) != np.shape(temp_node):
+                return temp_node
+            return jnp.asarray(arr, dtype=jnp.asarray(temp_node).dtype)
+        out = {}
+        for k, tv in temp_node.items():
+            cv = conv_node.get(k) if isinstance(conv_node, Mapping) else None
+            out[k] = merge(cv, tv)
+        return out
+
+    if not strict and hard:
+        print(f"| fit_to_template: {len(hard)} leaves kept from init:")
+        for p in hard[:20]:
+            print(f"|   {p}")
+    return merge(converted, template)
+
+
+# ---------------------------------------------------------------------------
+# Checkpoint-file level
+# ---------------------------------------------------------------------------
+
+
+def load_torch_state_dict(ckpt_path: str, model_name: str = "model") -> dict:
+    """Load a reference ``model_ckpt_steps_*.ckpt`` and extract one module's
+    flat state_dict (mirrors ``utils/commons/ckpt_utils.py:29-52``)."""
+    import torch
+
+    ckpt = torch.load(ckpt_path, map_location="cpu", weights_only=False)
+    sd = ckpt.get("state_dict", ckpt)
+    if any("." in k for k in sd):
+        prefix = model_name + "."
+        return {k[len(prefix):]: _to_np(v) for k, v in sd.items()
+                if k.startswith(prefix)}
+    node = sd
+    for part in model_name.split("."):
+        node = node[part]
+    return {k: _to_np(v) for k, v in node.items()}
+
+
+# ---------------------------------------------------------------------------
+# Family converters.  Each takes a flat torch state_dict for that module and
+# returns a flax variables dict {"params": ..., "ema": ..., ...}.
+# ---------------------------------------------------------------------------
+
+
+def convert_stylegan2_generator(sd: Mapping) -> dict:
+    """Reference ``Generator`` (`networks_stylegan2.py:541`)."""
+    return convert_state_dict(sd)
+
+
+def convert_flattened_fc_weight(arr: np.ndarray, spatial: int) -> np.ndarray:
+    """Dense weight consuming a flattened conv map: torch flattens CHW, our
+    NHWC modules flatten HWC — permute the input dim accordingly.
+
+    ``arr`` is the torch ``[out, C*spatial*spatial]`` weight; returns the
+    flax ``[spatial*spatial*C, out]`` weight.
+    """
+    out, flat = arr.shape
+    c = flat // (spatial * spatial)
+    assert c * spatial * spatial == flat, (arr.shape, spatial)
+    arr = arr.reshape(out, c, spatial, spatial).transpose(0, 2, 3, 1)
+    return np.ascontiguousarray(arr.reshape(out, flat).T)
+
+
+def convert_stylegan2_discriminator(sd: Mapping) -> dict:
+    """Reference ``Discriminator`` (`networks_stylegan2.py:754`).
+
+    The epilogue ``b4.fc`` consumes the flattened 4x4 conv map, so its weight
+    needs the CHW->HWC input permutation on top of the generic transpose.
+    """
+
+    def leaf(parts, arr):
+        if parts[-2:] == ("fc", "weight") and parts[-3].startswith("b") \
+                and arr.ndim == 2:
+            return ("params", parts, convert_flattened_fc_weight(arr, 4))
+        return convert_leaf(parts, arr)
+
+    return convert_state_dict(sd, leaf_fn=leaf)
+
+
+def convert_mapping_network(sd: Mapping) -> dict:
+    return convert_state_dict(sd)
+
+
+def convert_superresolution(sd: Mapping) -> dict:
+    """Reference ``SuperresolutionHybrid8XDC`` (`superresolution.py:331`)."""
+    return convert_state_dict(sd)
+
+
+def convert_osg_decoder(sd: Mapping) -> dict:
+    """Reference ``OSGDecoder`` (`modules/eg3ds/models/triplane.py:166`):
+    ``net.0`` (FullyConnectedLayer) -> ``net0``, ``net.2`` -> ``net1``."""
+    return convert_state_dict(
+        sd, renames=[(r"^net\.0\.", "net0."), (r"^net\.2\.", "net1.")]
+    )
