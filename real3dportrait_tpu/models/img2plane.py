@@ -61,6 +61,7 @@ class OSAvatarImg2Plane(nn.Module):
     use_fused_decoder: bool = False   # Pallas fused plane-mean+MLP kernel
     fused_interpret: bool = False     # interpret mode (CPU testing)
     render_bf16: bool = False         # bf16 plane sampling + decoder matmuls
+    head_norm_mode: str = "gn"        # "folded_bn" for converted torch ckpts
 
     @property
     def plane_channels(self) -> int:
@@ -90,7 +91,8 @@ class OSAvatarImg2Plane(nn.Module):
             )
         else:
             self.img2plane_backbone = SegFormerImg2PlaneBackbone(
-                scale=self.backbone_scale, plane_channels=self.plane_channels
+                scale=self.backbone_scale, plane_channels=self.plane_channels,
+                head_norm_mode=self.head_norm_mode,
             )
         self.decoder = OSGDecoder(hidden_dim=64, output_dim=self.triplane_hid_dim)
         self.superresolution = self._make_superresolution()
@@ -228,6 +230,7 @@ class OSAvatarSECCImg2Plane(OSAvatarImg2Plane):
             scale=self.secc_segformer_scale,
             plane_channels=self.plane_channels,
             pncc_cond_mode=self.pncc_cond_mode,
+            head_norm_mode=self.head_norm_mode,
         )
 
     def cal_secc_plane(self, secc: jnp.ndarray) -> jnp.ndarray:

@@ -22,6 +22,7 @@ from typing import Any, Sequence
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import linen as nn
 
 # MiT variants: (embed_dims, num_heads, depths); all share mlp_ratio 4 and
@@ -46,6 +47,34 @@ _dense_init = nn.initializers.truncated_normal(0.02)
 def resize_nhwc(x: jnp.ndarray, hw: tuple[int, int], method: str = "bilinear") -> jnp.ndarray:
     b, _, _, c = x.shape
     return jax.image.resize(x, (b, hw[0], hw[1], c), method=method)
+
+
+def _align_corners_matrix(n_in: int, n_out: int) -> np.ndarray:
+    """Row-stochastic bilinear interpolation matrix with align_corners=True
+    (torch ``nn.UpsamplingBilinear2d`` semantics)."""
+    a = np.zeros((n_out, n_in), np.float32)
+    if n_in == 1:
+        a[:, 0] = 1.0
+        return a
+    coords = np.arange(n_out) * (n_in - 1) / max(n_out - 1, 1)
+    lo = np.floor(coords).astype(np.int64)
+    hi = np.minimum(lo + 1, n_in - 1)
+    frac = (coords - lo).astype(np.float32)
+    a[np.arange(n_out), lo] += 1.0 - frac
+    a[np.arange(n_out), hi] += frac
+    return a
+
+
+def upsample_align_corners(x: jnp.ndarray, hw: tuple[int, int]) -> jnp.ndarray:
+    """NHWC bilinear resize with align_corners=True, expressed as two small
+    dense interpolation matmuls (MXU-friendly; exact match to torch's
+    ``nn.UpsamplingBilinear2d`` used by the reference ``to_plane_cnn``,
+    `segformer.py:577`)."""
+    b, h, w, c = x.shape
+    ah = jnp.asarray(_align_corners_matrix(h, hw[0]))
+    aw = jnp.asarray(_align_corners_matrix(w, hw[1]))
+    x = jnp.einsum("oh,bhwc->bowc", ah, x)
+    return jnp.einsum("pw,bhwc->bhpc", aw, x)
 
 
 class DWConv(nn.Module):
@@ -168,9 +197,19 @@ class MixVisionTransformer(nn.Module):
 
 
 class SegFormerHead(nn.Module):
-    """All-MLP decode head fusing the 4-scale pyramid (`segformer.py:463`)."""
+    """All-MLP decode head fusing the 4-scale pyramid (`segformer.py:463`).
+
+    ``norm_mode``:
+      * ``"gn"`` (default, fresh training) — GroupNorm after the fuse conv;
+        the reference uses (Sync)BatchNorm, GroupNorm is the TPU-native
+        choice (no cross-device batch stats; SURVEY.md §5).
+      * ``"folded_bn"`` — no norm; used for converted reference checkpoints
+        where the inference-time BatchNorm affine is folded into the fuse
+        conv's kernel/bias by ``tools/convert_torch_ckpt``.
+    """
 
     embedding_dim: int = 256
+    norm_mode: str = "gn"
 
     @nn.compact
     def __call__(self, feats: Sequence[jnp.ndarray]) -> jnp.ndarray:
@@ -183,10 +222,12 @@ class SegFormerHead(nn.Module):
             projected.append(p)
         # reference concatenates c4..c1
         x = jnp.concatenate(projected[::-1], axis=-1)
-        x = nn.Conv(self.embedding_dim, (1, 1), use_bias=False, name="linear_fuse")(x)
-        # reference uses (Sync)BatchNorm; GroupNorm is the TPU-native choice
-        # (no cross-device batch stats; SURVEY.md §5)
-        x = nn.GroupNorm(num_groups=32, name="fuse_norm")(x)
+        x = nn.Conv(
+            self.embedding_dim, (1, 1), use_bias=(self.norm_mode == "folded_bn"),
+            name="linear_fuse",
+        )(x)
+        if self.norm_mode == "gn":
+            x = nn.GroupNorm(num_groups=32, name="fuse_norm")(x)
         return nn.relu(x)
 
 
@@ -201,7 +242,8 @@ class PlaneCNN(nn.Module):
         for i in range(3):
             x = nn.Conv(256, (3, 3), padding=1, name=f"conv{i}")(x)
             x = nn.leaky_relu(x, 0.01)
-        x = resize_nhwc(x, (x.shape[1] * 2, x.shape[2] * 2))
+        # reference uses nn.UpsamplingBilinear2d => align_corners=True
+        x = upsample_align_corners(x, (x.shape[1] * 2, x.shape[2] * 2))
         return nn.Conv(self.out_channels, (3, 3), padding=1, name="to_plane")(x)
 
 
@@ -225,11 +267,12 @@ class SegFormerImg2PlaneBackbone(nn.Module):
 
     scale: str = "b0"
     plane_channels: int = 96  # 3 * hid_dim * depth / 3 per plane
+    head_norm_mode: str = "gn"
 
     @nn.compact
     def __call__(self, img: jnp.ndarray) -> jnp.ndarray:
         feats = MixVisionTransformer(self.scale, name="mix_vit")(img)
-        fused = SegFormerHead(name="fuse_head")(feats)
+        fused = SegFormerHead(norm_mode=self.head_norm_mode, name="fuse_head")(feats)
         planes = PlaneCNN(self.plane_channels * 3, name="to_plane_cnn")(fused)
         b, h, w, _ = planes.shape
         planes = planes.reshape(b, h, w, 3, self.plane_channels)
@@ -243,6 +286,7 @@ class SegFormerSECC2PlaneBackbone(nn.Module):
     scale: str = "b0"
     plane_channels: int = 96
     pncc_cond_mode: str = "cano_src_tgt"
+    head_norm_mode: str = "gn"
 
     @nn.compact
     def __call__(self, secc: jnp.ndarray) -> jnp.ndarray:
@@ -251,7 +295,7 @@ class SegFormerSECC2PlaneBackbone(nn.Module):
 
         x = Conv2dLayer(3, kernel_size=1, name="prenet")(secc)
         feats = MixVisionTransformer(self.scale, name="mix_vit")(x)
-        fused = SegFormerHead(name="fuse_head")(feats)
+        fused = SegFormerHead(norm_mode=self.head_norm_mode, name="fuse_head")(feats)
         planes = PlaneCNN(self.plane_channels * 3, name="to_plane_cnn")(fused)
         b, h, w, _ = planes.shape
         planes = planes.reshape(b, h, w, 3, self.plane_channels)

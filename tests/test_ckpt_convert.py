@@ -230,6 +230,70 @@ def test_osg_decoder_parity(ref):
     _agree(got["sigma"], want["sigma"].detach().numpy())
 
 
+@pytest.fixture(scope="module")
+def ref_segformer():
+    """Import the reference segformer with shimmed timm/mmcv deps."""
+    if REF not in sys.path:
+        sys.path.insert(0, REF)
+    from tests.ref_shims import install_ref_shims
+
+    install_ref_shims()
+    try:
+        from modules.real3d import segformer as ref_sf
+    except Exception as exc:  # pragma: no cover
+        pytest.skip(f"reference segformer not importable: {exc}")
+    return ref_sf
+
+
+def test_segformer_img2plane_backbone_parity(ref_segformer):
+    import jax.numpy as jnp
+
+    from real3dportrait_tpu.models.segformer import SegFormerImg2PlaneBackbone
+    from tests.ref_shims import patched_torch_load
+    from tools.convert_torch_ckpt import convert_segformer_backbone
+
+    torch.manual_seed(10)
+    with patched_torch_load():
+        tm = ref_segformer.SegFormerImg2PlaneBackbone(mode="b0").eval()
+    x = np.random.RandomState(10).randn(1, 3, 64, 64).astype(np.float32)
+    with torch.no_grad():
+        want = tm(torch.from_numpy(x)).numpy()  # [B,3,C,H,W]
+
+    fm = SegFormerImg2PlaneBackbone(scale="b0", plane_channels=32,
+                                    head_norm_mode="folded_bn")
+    variables = convert_segformer_backbone(_sd(tm))
+    got = fm.apply(variables, jnp.asarray(x.transpose(0, 2, 3, 1)))
+    # ours: [B,3,H,W,C] -> torch layout [B,3,C,H,W]
+    got = np.asarray(got).transpose(0, 1, 4, 2, 3)
+    _agree(got, want, tol=2e-4)
+
+
+def test_segformer_secc2plane_backbone_parity(ref_segformer):
+    import jax.numpy as jnp
+
+    from real3dportrait_tpu.models.segformer import SegFormerSECC2PlaneBackbone
+    from tests.ref_shims import patched_torch_load
+    from tools.convert_torch_ckpt import convert_segformer_backbone
+
+    torch.manual_seed(11)
+    with patched_torch_load():
+        tm = ref_segformer.SegFormerSECC2PlaneBackbone(
+            mode="b0", out_channels=96, pncc_cond_mode="cano_src_tgt"
+        ).eval()
+    x = np.random.RandomState(11).randn(1, 9, 64, 64).astype(np.float32)
+    with torch.no_grad():
+        want = tm(torch.from_numpy(x)).numpy()
+
+    # reference out_channels=96 is the TOTAL across 3 planes -> 32 per plane
+    fm = SegFormerSECC2PlaneBackbone(scale="b0", plane_channels=32,
+                                     pncc_cond_mode="cano_src_tgt",
+                                     head_norm_mode="folded_bn")
+    variables = convert_segformer_backbone(_sd(tm))
+    got = fm.apply(variables, jnp.asarray(x.transpose(0, 2, 3, 1)))
+    got = np.asarray(got).transpose(0, 1, 4, 2, 3)
+    _agree(got, want, tol=2e-4)
+
+
 @pytest.mark.slow
 def test_superresolution_8xdc_parity(ref):
     import jax.numpy as jnp

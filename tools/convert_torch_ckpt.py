@@ -247,6 +247,84 @@ def convert_superresolution(sd: Mapping) -> dict:
     return convert_state_dict(sd)
 
 
+def fold_batchnorm_into_conv(sd: dict, conv_prefix: str, bn_prefix: str,
+                             eps: float = 1e-5) -> None:
+    """Fold inference-mode BatchNorm stats into the preceding conv, in place.
+
+    ``conv(x); bn(y) = (y - mean)/sqrt(var+eps)*gamma + beta``  becomes a conv
+    with ``W' = W * gamma/sqrt(var+eps)`` (per out-channel) and
+    ``b' = beta - mean*gamma/sqrt(var+eps)``. Used for the SegFormer fuse
+    head, whose (Sync)BatchNorm we replace with a folded affine at
+    conversion (`modules/real3d/segformer.py:482-497`).
+    """
+    w = _to_np(sd.pop(f"{conv_prefix}.weight"))  # OIHW
+    gamma = _to_np(sd.pop(f"{bn_prefix}.weight"))
+    beta = _to_np(sd.pop(f"{bn_prefix}.bias"))
+    mean = _to_np(sd.pop(f"{bn_prefix}.running_mean"))
+    var = _to_np(sd.pop(f"{bn_prefix}.running_var"))
+    sd.pop(f"{bn_prefix}.num_batches_tracked", None)
+    scale = gamma / np.sqrt(var + eps)
+    sd[f"{conv_prefix}.weight"] = w * scale[:, None, None, None]
+    bias = beta - mean * scale
+    if f"{conv_prefix}.bias" in sd:
+        bias = bias + _to_np(sd.pop(f"{conv_prefix}.bias")) * scale
+    sd[f"{conv_prefix}.bias"] = bias
+
+
+_SEGFORMER_RENAMES = [
+    # MiT encoder: torch ModuleList block1.0 -> our block1_0; submodule names
+    (r"\bblock(\d)\.(\d+)\.", r"block\1_\2."),
+    (r"\bpatch_embed(\d)\.proj\.", r"patch_embed\1.Conv_0."),
+    (r"\bpatch_embed(\d)\.norm\.", r"patch_embed\1.LayerNorm_0."),
+    (r"\battn\.norm\.", r"attn.sr_norm."),
+    (r"\bmlp\.fc1\.", r"mlp.Dense_0."),
+    (r"\bmlp\.fc2\.", r"mlp.Dense_1."),
+    (r"\bmlp\.dwconv\.dwconv\.", r"mlp.DWConv_0.Conv_0."),
+    # head: HeadMLP wraps a single Linear called proj
+    (r"\blinear_c(\d)\.proj\.", r"linear_c\1."),
+    # to_plane_cnn Sequential indices (1,3,5 = LeakyReLU, 6 = Upsampling)
+    (r"\bto_plane_cnn\.0\.", r"to_plane_cnn.conv0."),
+    (r"\bto_plane_cnn\.2\.", r"to_plane_cnn.conv1."),
+    (r"\bto_plane_cnn\.4\.", r"to_plane_cnn.conv2."),
+    (r"\bto_plane_cnn\.7\.", r"to_plane_cnn.to_plane."),
+    (r"\blinear_fuse\.conv\.", r"linear_fuse."),
+]
+
+
+def _segformer_leaf(parts: tuple[str, ...], arr: np.ndarray):
+    """Leaf rule for flax-builtin modules (Dense/Conv -> 'kernel',
+    LayerNorm -> 'scale'), except the eq-lr ``prenet`` which is our
+    StyleGAN2 Conv2dLayer and keeps 'weight'."""
+    leaf = parts[-1]
+    if parts[0] == "prenet":
+        return convert_leaf(parts, arr)
+    if leaf == "weight":
+        if arr.ndim == 4:  # conv OIHW -> HWIO (also depthwise [C,1,kh,kw])
+            return ("params", parts[:-1] + ("kernel",),
+                    np.ascontiguousarray(arr.transpose(2, 3, 1, 0)))
+        if arr.ndim == 2:  # Linear [out,in] -> [in,out]
+            return ("params", parts[:-1] + ("kernel",),
+                    np.ascontiguousarray(arr.T))
+        if arr.ndim == 1:  # LayerNorm
+            return ("params", parts[:-1] + ("scale",), arr)
+    return convert_leaf(parts, arr)
+
+
+def convert_segformer_backbone(sd: Mapping, prefix: str = "") -> dict:
+    """Reference ``SegFormerImg2PlaneBackbone`` / ``SegFormerSECC2PlaneBackbone``
+    (`modules/real3d/segformer.py:554,673`) -> our flax backbones
+    (``head_norm_mode="folded_bn"``). ``prefix`` strips a leading module path.
+    """
+    sd = {k[len(prefix):]: _to_np(v) for k, v in sd.items()
+          if k.startswith(prefix)}
+    fold_batchnorm_into_conv(sd, "fuse_head.linear_fuse.conv",
+                             "fuse_head.linear_fuse.bn")
+    return convert_state_dict(
+        sd, renames=_SEGFORMER_RENAMES, skip=[r"num_batches_tracked"],
+        leaf_fn=_segformer_leaf,
+    )
+
+
 def convert_osg_decoder(sd: Mapping) -> dict:
     """Reference ``OSGDecoder`` (`modules/eg3ds/models/triplane.py:166`):
     ``net.0`` (FullyConnectedLayer) -> ``net0``, ``net.2`` -> ``net1``."""
