@@ -38,8 +38,14 @@ def f0_to_coarse(f0: jnp.ndarray) -> jnp.ndarray:
     return jnp.floor(f0_mel + 0.5).astype(jnp.int32)
 
 
-def downsample_time(x: jnp.ndarray, factor: int = 2, method: str = "linear") -> jnp.ndarray:
-    """[B,T,C] -> [B,T//factor,C] (the 50Hz->25Hz audio downsampler)."""
+def downsample_time(x: jnp.ndarray, factor: int = 2, method: str = "nearest") -> jnp.ndarray:
+    """[B,T,C] -> [B,T//factor,C] (the 50Hz->25Hz audio downsampler).
+
+    ``nearest`` matches torch ``F.interpolate(mode='nearest', scale=1/f)``
+    exactly: output i reads input ``i*f`` (`vae.py:386`)."""
+    if method == "nearest":
+        t_out = x.shape[1] // factor
+        return x[:, : t_out * factor : factor]
     b, t, c = x.shape
     return jax.image.resize(x, (b, t // factor, c), method)
 
@@ -281,6 +287,23 @@ class PitchContourVAEModel(nn.Module):
     use_pitch: bool = True
     use_mouth_amp_embed: bool = True
     use_eye_amp_embed: bool = False
+    # "gn": GroupNorm in the mel/pitch encoders (fresh training, TPU-native
+    # replacement for the reference's BatchNorm1d); "folded_bn": no norm,
+    # biased first conv — for converted reference checkpoints where the
+    # inference-mode BN affine is folded in (tools/convert_torch_ckpt).
+    norm_mode: str = "gn"
+
+    def _cond_encoder(self, x: jnp.ndarray, name: str) -> jnp.ndarray:
+        """conv -> norm -> GELU -> conv (reference `vae.py:348-353`)."""
+        fd = self.feat_dim
+        x = nn.Conv(fd, (3,), padding=1,
+                    use_bias=(self.norm_mode == "folded_bn"),
+                    name=f"{name}_conv0")(x)
+        if self.norm_mode == "gn":
+            x = nn.GroupNorm(num_groups=8, name=f"{name}_gn")(x)
+        x = nn.gelu(x, approximate=False)  # torch nn.GELU() is erf-exact
+        return nn.Conv(fd, (3,), padding=1, use_bias=False,
+                       name=f"{name}_conv1")(x)
 
     @nn.compact
     def __call__(self, batch: dict, train: bool = True, temperature: float = 1.0) -> dict:
@@ -291,22 +314,13 @@ class PitchContourVAEModel(nn.Module):
         mel = downsample_time(batch["audio"], 2, "nearest")
 
         cond_feats = []
-        mel_feat = nn.Sequential([
-            nn.Conv(fd, (3,), padding=1, use_bias=False),
-            nn.GroupNorm(num_groups=8), nn.gelu,
-            nn.Conv(fd, (3,), padding=1, use_bias=False),
-        ], name="mel_encoder")(mel)
+        mel_feat = self._cond_encoder(mel, "mel_encoder")
         cond_feats.append(mel_feat)
 
         if self.use_pitch:
             f0 = downsample_time(batch["f0"][..., None], 2, "nearest")[..., 0]
             pitch_emb = nn.Embed(300, fd, name="pitch_embed")(f0_to_coarse(f0))
-            pitch_feat = nn.Sequential([
-                nn.Conv(fd, (3,), padding=1, use_bias=False),
-                nn.GroupNorm(num_groups=8), nn.gelu,
-                nn.Conv(fd, (3,), padding=1, use_bias=False),
-            ], name="pitch_encoder")(pitch_emb)
-            cond_feats.append(pitch_feat)
+            cond_feats.append(self._cond_encoder(pitch_emb, "pitch_encoder"))
 
         blink = batch.get("blink")
         if blink is None:

@@ -294,6 +294,90 @@ def test_segformer_secc2plane_backbone_parity(ref_segformer):
     _agree(got, want, tol=2e-4)
 
 
+@pytest.fixture(scope="module")
+def ref_vae():
+    if REF not in sys.path:
+        sys.path.insert(0, REF)
+    try:
+        from modules.audio2motion import vae as ref_vae_mod
+    except Exception as exc:  # pragma: no cover
+        pytest.skip(f"reference vae not importable: {exc}")
+    return ref_vae_mod
+
+
+def test_pitch_contour_vae_infer_parity(ref_vae):
+    """Full audio->motion inference path at temperature=0 (deterministic):
+    cond stack + g_pre_net + glow reverse + WN decoder."""
+    import jax
+    import jax.numpy as jnp
+
+    from real3dportrait_tpu.models.audio2motion import PitchContourVAEModel
+    from tools.convert_torch_ckpt import convert_pitch_contour_vae
+
+    torch.manual_seed(20)
+    hp = {"use_mouth_amp_embed": True, "use_eye_amp_embed": False}
+    tm = ref_vae.PitchContourVAEModel(hp, in_out_dim=64, audio_in_dim=64).eval()
+
+    rs = np.random.RandomState(20)
+    b, t = 2, 32  # audio at 50Hz; motion at 25Hz
+    batch_np = {
+        "audio": rs.randn(b, t, 64).astype(np.float32),
+        "f0": (rs.rand(b, t).astype(np.float32) * 300 + 80),
+        "y_mask": np.ones((b, t // 2), np.float32),
+        "blink": (rs.rand(b, t, 1) > 0.7).astype(np.int64),
+        "mouth_amp": np.full((b, 1), 0.4, np.float32),
+    }
+    tb = {k: torch.from_numpy(v) for k, v in batch_np.items()}
+    with torch.no_grad():
+        want = tm(tb, ret={}, train=False, temperature=0.0).numpy()
+
+    fm = PitchContourVAEModel(in_out_dim=64, audio_in_dim=64,
+                              norm_mode="folded_bn")
+    variables = convert_pitch_contour_vae(_sd(tm))
+    batch_j = {k: jnp.asarray(v) for k, v in batch_np.items()}
+    batch_j["blink"] = batch_j["blink"].astype(jnp.int32)
+    out = fm.apply(variables, batch_j, train=False, temperature=0.0,
+                   rngs={"noise": jax.random.PRNGKey(0)})
+    _agree(out["pred"], want, tol=3e-4)
+
+
+def test_fvae_encoder_parity(ref_vae):
+    """Posterior (m, logs) of the FVAE encoder (the training-only half)."""
+    import jax
+    import jax.numpy as jnp
+
+    from real3dportrait_tpu.models.audio2motion import FVAEEncoder
+    from tools.convert_torch_ckpt import convert_pitch_contour_vae
+
+    torch.manual_seed(21)
+    tm = ref_vae.FVAEEncoder(in_channels=64, hidden_channels=32,
+                             latent_channels=16, kernel_size=5, n_layers=4,
+                             gin_channels=24, strides=[4]).eval()
+    rs = np.random.RandomState(21)
+    b, t = 2, 32
+    x = rs.randn(b, 64, t).astype(np.float32)       # torch BCT
+    g = rs.randn(b, 24, t // 4).astype(np.float32)  # squeezed cond
+    mask = np.ones((b, 1, t), np.float32)  # full-rate; strided internally
+    with torch.no_grad():
+        _, m_t, logs_t, _ = tm(torch.from_numpy(x), torch.from_numpy(mask),
+                               torch.from_numpy(g))
+
+    fm = FVAEEncoder(hidden_channels=32, latent_channels=16, kernel_size=5,
+                     n_layers=4, gin_channels=24, strides=(4,))
+    # converter renames are anchored on the full-model paths; wrap + unwrap
+    converted = convert_pitch_contour_vae(
+        {f"encoder.{k}": v for k, v in _sd(tm).items()}
+    )
+    variables = {c: t["encoder"] for c, t in converted.items()}
+    _, m, logs, _ = fm.apply(
+        variables, jnp.asarray(x.transpose(0, 2, 1)),
+        jnp.ones((b, t, 1)), jnp.asarray(g.transpose(0, 2, 1)),
+        jax.random.PRNGKey(0),
+    )
+    _agree(m, m_t.numpy().transpose(0, 2, 1), tol=2e-4)
+    _agree(logs, logs_t.numpy().transpose(0, 2, 1), tol=2e-4)
+
+
 @pytest.mark.slow
 def test_superresolution_8xdc_parity(ref):
     import jax.numpy as jnp

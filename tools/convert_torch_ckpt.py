@@ -264,7 +264,7 @@ def fold_batchnorm_into_conv(sd: dict, conv_prefix: str, bn_prefix: str,
     var = _to_np(sd.pop(f"{bn_prefix}.running_var"))
     sd.pop(f"{bn_prefix}.num_batches_tracked", None)
     scale = gamma / np.sqrt(var + eps)
-    sd[f"{conv_prefix}.weight"] = w * scale[:, None, None, None]
+    sd[f"{conv_prefix}.weight"] = w * scale.reshape((-1,) + (1,) * (w.ndim - 1))
     bias = beta - mean * scale
     if f"{conv_prefix}.bias" in sd:
         bias = bias + _to_np(sd.pop(f"{conv_prefix}.bias")) * scale
@@ -322,6 +322,72 @@ def convert_segformer_backbone(sd: Mapping, prefix: str = "") -> dict:
     return convert_state_dict(
         sd, renames=_SEGFORMER_RENAMES, skip=[r"num_batches_tracked"],
         leaf_fn=_segformer_leaf,
+    )
+
+
+def fold_weight_norm(sd: dict) -> None:
+    """Fold torch ``weight_norm`` reparameterizations in place:
+    ``w = g * v / ||v||`` with the norm over all dims except 0 (torch's
+    default dim=0). The reference's WN stacks weight-norm every conv
+    (`modules/audio2motion/flow_base.py:46-63`); our flax modules use plain
+    convs (XLA folds the scale anyway), so conversion bakes the norm in."""
+    for k in [k for k in sd if k.endswith(".weight_v")]:
+        base = k[: -len(".weight_v")]
+        v = _to_np(sd.pop(k))
+        g = _to_np(sd.pop(base + ".weight_g"))
+        norm = np.sqrt(np.sum(np.square(v), axis=tuple(range(1, v.ndim)),
+                              keepdims=True))
+        sd[base + ".weight"] = g * v / np.maximum(norm, 1e-12)
+
+
+_VAE_RENAMES = [
+    # WN internals (`flow_base.py:35-63`)
+    (r"\bin_layers\.(\d+)\.", r"in_\1."),
+    (r"\bres_skip_layers\.(\d+)\.", r"res_skip_\1."),
+    # FVAE plumbing (`vae.py:99-188`): single-conv Sequentials
+    (r"\bg_pre_net\.0\.", r"g_pre_net."),
+    (r"\bencoder\.pre_net\.0\.", r"encoder.Conv_0."),
+    (r"\bdecoder\.pre_net\.0\.", r"decoder.ConvTranspose_0."),
+    # coupling flows interleave Flip (paramless): flows.0,2,4,6 -> flow_0..3
+    (r"\bflows\.(\d+)\.", lambda m: f"flow_{int(m.group(1)) // 2}."),
+    # cond encoders: Sequential(conv, BN, GELU, conv) after BN folding
+    (r"\b(mel_encoder|pitch_encoder)\.0\.", r"\1_conv0."),
+    (r"\b(mel_encoder|pitch_encoder)\.3\.", r"\1_conv1."),
+]
+
+# modules whose [out,in,k] / [in,out,k] conv1d weights go to flax 'kernel'
+_EMBED_MODULES = ("pitch_embed", "blink_embed")
+
+
+def _vae_leaf(parts: tuple[str, ...], arr: np.ndarray):
+    leaf = parts[-1]
+    if leaf == "weight":
+        if len(parts) >= 2 and parts[-2] in _EMBED_MODULES:
+            return ("params", parts[:-1] + ("embedding",), arr)  # [N,fd]
+        if arr.ndim == 3:
+            if "ConvTranspose" in parts[-2]:  # torch [in,out,k] -> [k,in,out]
+                arr = np.ascontiguousarray(arr.transpose(2, 0, 1))
+            else:  # torch Conv1d [out,in,k] -> [k,in,out]
+                arr = np.ascontiguousarray(arr.transpose(2, 1, 0))
+            return ("params", parts[:-1] + ("kernel",), arr)
+        if arr.ndim == 2:  # Linear [out,in] -> [in,out]
+            return ("params", parts[:-1] + ("kernel",),
+                    np.ascontiguousarray(arr.T))
+    return convert_leaf(parts, arr)
+
+
+def convert_pitch_contour_vae(sd: Mapping) -> dict:
+    """Reference ``PitchContourVAEModel`` / ``VAEModel``
+    (`modules/audio2motion/vae.py:272,340`) -> our flax
+    ``PitchContourVAEModel(norm_mode="folded_bn")``."""
+    sd = {k: _to_np(v) for k, v in sd.items()}
+    fold_weight_norm(sd)
+    for enc in ("mel_encoder", "pitch_encoder"):
+        if f"{enc}.1.running_mean" in sd:
+            fold_batchnorm_into_conv(sd, f"{enc}.0", f"{enc}.1")
+    return convert_state_dict(
+        sd, renames=_VAE_RENAMES, skip=[r"num_batches_tracked"],
+        leaf_fn=_vae_leaf,
     )
 
 
