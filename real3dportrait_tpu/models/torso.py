@@ -37,23 +37,49 @@ def _gn(c: int) -> int:
     return 1
 
 
+class ChannelAffine(nn.Module):
+    """Per-channel ``x*scale + bias`` — the exact eval-time form of the
+    reference's (Sync)BatchNorm, populated by ``tools/convert_torch_ckpt``
+    from the running stats."""
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,))
+        bias = self.param("bias", nn.initializers.zeros, (c,))
+        return x * scale + bias
+
+
+def _norm(x, mode: str, name: str):
+    if mode == "affine":
+        return ChannelAffine(name=name)(x)
+    return nn.GroupNorm(num_groups=_gn(x.shape[-1]), name=name)(x)
+
+
 class ConvBlock2D(nn.Module):
-    """conv -> norm -> activation (pattern 'CNA' of `layers.py:_ConvBlock`)."""
+    """conv -> norm -> activation (pattern 'CNA' of `layers.py:_ConvBlock`).
+
+    norm_mode "gn" (fresh training; the reference uses SyncBatchNorm, which
+    has no TPU-mesh analogue) or "affine" (converted checkpoints: eval-time
+    BN folded to a per-channel affine).
+    """
 
     out_channels: int
     kernel: int = 3
     stride: int = 1
     pattern: str = "CNA"
     lrelu: bool = False
+    norm_mode: str = "gn"
 
     @nn.compact
     def __call__(self, x):
         for op in self.pattern:
             if op == "C":
                 x = nn.Conv(self.out_channels, (self.kernel, self.kernel),
-                            strides=self.stride, padding=self.kernel // 2)(x)
+                            strides=self.stride, padding=self.kernel // 2,
+                            name="conv")(x)
             elif op == "N":
-                x = nn.GroupNorm(num_groups=_gn(x.shape[-1]))(x)
+                x = _norm(x, self.norm_mode, "norm")
             elif op == "A":
                 x = nn.leaky_relu(x, 0.2) if self.lrelu else nn.relu(x)
         return x
@@ -65,15 +91,17 @@ class ConvBlock3D(nn.Module):
     stride: int = 1
     pattern: str = "CNA"
     lrelu: bool = False
+    norm_mode: str = "gn"
 
     @nn.compact
     def __call__(self, x):  # [B,D,H,W,C]
         for op in self.pattern:
             if op == "C":
                 x = nn.Conv(self.out_channels, (self.kernel,) * 3,
-                            strides=self.stride, padding=self.kernel // 2)(x)
+                            strides=self.stride, padding=self.kernel // 2,
+                            name="conv")(x)
             elif op == "N":
-                x = nn.GroupNorm(num_groups=_gn(x.shape[-1]))(x)
+                x = _norm(x, self.norm_mode, "norm")
             elif op == "A":
                 x = nn.leaky_relu(x, 0.2) if self.lrelu else nn.relu(x)
         return x
@@ -98,20 +126,24 @@ def upsample_3d_hw(x):
 
 
 class ResBlock2D(nn.Module):
+    norm_mode: str = "gn"
+
     @nn.compact
     def __call__(self, x):
         c = x.shape[-1]
-        y = ConvBlock2D(c, pattern="NAC")(x)
-        y = ConvBlock2D(c, pattern="NAC")(y)
+        y = ConvBlock2D(c, pattern="NAC", norm_mode=self.norm_mode, name="block0")(x)
+        y = ConvBlock2D(c, pattern="NAC", norm_mode=self.norm_mode, name="block1")(y)
         return x + y
 
 
 class ResBlock3D(nn.Module):
+    norm_mode: str = "gn"
+
     @nn.compact
     def __call__(self, x):
         c = x.shape[-1]
-        y = ConvBlock3D(c, pattern="NAC")(x)
-        y = ConvBlock3D(c, pattern="NAC")(y)
+        y = ConvBlock3D(c, pattern="NAC", norm_mode=self.norm_mode, name="block0")(x)
+        y = ConvBlock3D(c, pattern="NAC", norm_mode=self.norm_mode, name="block1")(y)
         return x + y
 
 
@@ -201,19 +233,21 @@ class AppearanceFeatureExtractor(nn.Module):
     depth: int = 16
     down_seq: Sequence[int] = (64, 128, 256)
     n_res: int = 6
+    norm_mode: str = "gn"
 
     @nn.compact
     def __call__(self, x):
-        x = ConvBlock2D(self.down_seq[0], kernel=7)(x)
-        for ch in self.down_seq[1:]:
-            x = avg_pool_2d(ConvBlock2D(ch)(x))
-        x = nn.Conv(self.feat_channels * self.depth, (1, 1))(x)
+        nm = self.norm_mode
+        x = ConvBlock2D(self.down_seq[0], kernel=7, norm_mode=nm, name="in_conv")(x)
+        for i, ch in enumerate(self.down_seq[1:]):
+            x = avg_pool_2d(ConvBlock2D(ch, norm_mode=nm, name=f"down_{i}")(x))
+        x = nn.Conv(self.feat_channels * self.depth, (1, 1), name="mid_conv")(x)
         b, h, w, _ = x.shape
         # channel-major split (C,D) matching reference view(N, C, D, H, W)
         x = x.reshape(b, h, w, self.feat_channels, self.depth)
         x = jnp.transpose(x, (0, 4, 1, 2, 3))  # [B,D,H,W,C]
-        for _ in range(self.n_res):
-            x = ResBlock3D()(x)
+        for i in range(self.n_res):
+            x = ResBlock3D(norm_mode=nm, name=f"res_{i}")(x)
         return x
 
 
@@ -225,6 +259,7 @@ class MotionFieldEstimator(nn.Module):
     compress_channels: int = 4
     down_seq: Sequence[int] = (32, 64, 128, 256, 512)
     up_seq: Sequence[int] = (512, 256, 128, 64, 32, 16)
+    norm_mode: str = "gn"
 
     @nn.compact
     def __call__(self, fs: jnp.ndarray, kp_s: jnp.ndarray, kp_d: jnp.ndarray):
@@ -250,13 +285,12 @@ class MotionFieldEstimator(nn.Module):
         )
 
         x = inp
-        skips = []
-        for ch in self.down_seq:
-            x = ConvBlock3D(ch)(x)
+        for i, ch in enumerate(self.down_seq):
+            x = ConvBlock3D(ch, norm_mode=self.norm_mode, name=f"down_{i}")(x)
             x = avg_pool_3d_hw(x)
-        for ch in self.up_seq[1:]:
+        for i, ch in enumerate(self.up_seq[1:]):
             x = upsample_3d_hw(x)
-            x = ConvBlock3D(ch)(x)
+            x = ConvBlock3D(ch, norm_mode=self.norm_mode, name=f"up_{i}")(x)
         x = jnp.concatenate([inp, x], axis=-1)
 
         mask = nn.Conv(k + 1, (7, 7, 7), padding=3, name="mask_conv")(x)
@@ -264,7 +298,9 @@ class MotionFieldEstimator(nn.Module):
         mask = jnp.moveaxis(mask, -1, 1)[..., None]  # [B,K+1,D,H,W,1]
         deformation = jnp.sum(sparse_motion * mask, axis=1)  # [B,D,H,W,3]
 
-        x2d = jnp.transpose(x, (0, 2, 3, 1, 4)).reshape(b, h, w, -1)
+        # [B,D,H,W,C] -> [B,H,W,C*D] with C-major channel order, matching the
+        # reference's view(N,-1,H,W) from NCDHW (`network.py:214`)
+        x2d = jnp.transpose(x, (0, 2, 3, 4, 1)).reshape(b, h, w, -1)
         occlusion = jax.nn.sigmoid(
             nn.Conv(1, (7, 7), padding=3, name="occlusion_conv")(x2d)
         )
@@ -280,11 +316,13 @@ class WarpGenerator(nn.Module):
 
     up_seq: Sequence[int] = (256, 128, 64)
     n_res: int = 6
+    norm_mode: str = "gn"
 
     @nn.compact
     def __call__(self, fs: jnp.ndarray, deformation: jnp.ndarray):
         """fs [B,D,H,W,C], deformation [B,D,H,W,3] -> (rgb [B,4H,4W,3],
         hid [B,4H,4W,up_seq[-1]])."""
+        nm = self.norm_mode
         b, d, h, w, c = fs.shape
         coords = deformation.reshape(b, -1, 3)
         warped = grid_sample_3d(fs, coords, align_corners=True,
@@ -292,13 +330,13 @@ class WarpGenerator(nn.Module):
         # collapse depth into channels: [B,H,W,C*D] (reference view(N,-1,H,W)
         # from NCDHW flattens C-major, D-minor)
         x = jnp.transpose(warped, (0, 2, 3, 4, 1)).reshape(b, h, w, c * d)
-        x = ConvBlock2D(self.up_seq[0], lrelu=True)(x)
+        x = ConvBlock2D(self.up_seq[0], lrelu=True, norm_mode=nm, name="in_conv")(x)
         x = nn.Conv(self.up_seq[0], (1, 1), name="mid_conv")(x)
-        for _ in range(self.n_res):
-            x = ResBlock2D()(x)
-        for ch in self.up_seq[1:]:
+        for i in range(self.n_res):
+            x = ResBlock2D(norm_mode=nm, name=f"res_{i}")(x)
+        for i, ch in enumerate(self.up_seq[1:]):
             x = upsample_2d(x)
-            x = ConvBlock2D(ch)(x)
+            x = ConvBlock2D(ch, norm_mode=nm, name=f"up_{i}")(x)
         rgb = nn.Conv(3, (7, 7), padding=3, name="out_conv")(x)
         return rgb, x
 
@@ -332,8 +370,10 @@ TORSO_PRESETS: dict[str, dict] = {
         motion_up_seq=(1024, 512, 256, 128, 64, 32),
         gen_up_seq=(256, 128, 64), gen_n_res=6,
     ),
+    # reference 'small' differs from 'standard' ONLY in the motion-field
+    # seqs (`network.py:25-35,174-180`): appearance/generator are fixed.
     "small": dict(
-        feat_channels=32, depth=16, app_down_seq=(32, 64, 128), app_n_res=4,
+        feat_channels=32, depth=16, app_down_seq=(64, 128, 256), app_n_res=6,
         motion_down_seq=(32, 64, 128, 256, 512),
         motion_up_seq=(512, 256, 128, 64, 32, 16),
         gen_up_seq=(256, 128, 64), gen_n_res=6,
@@ -356,6 +396,7 @@ class WarpBasedTorsoModel(nn.Module):
     torso_kp_num: int = 4
     scale: str = "standard"
     grad_scale: float = 0.1
+    norm_mode: str = "gn"
 
     KP_SUBSETS = {4: (0, 8, 16, 27), 9: (0, 3, 6, 8, 10, 13, 16, 27, 33)}
 
@@ -374,13 +415,14 @@ class WarpBasedTorsoModel(nn.Module):
         feats = AppearanceFeatureExtractor(
             arch["feat_channels"], arch["depth"],
             down_seq=arch["app_down_seq"], n_res=arch["app_n_res"],
-            name="appearance_extractor",
+            norm_mode=self.norm_mode, name="appearance_extractor",
         )(torso_src_img)
         b, d, h, w, c = feats.shape
 
-        # torso mask from segmap channels 2 (neck) and 4 (torso)
+        # torso mask from segmap channels 2 (neck) and 4 (torso);
+        # antialias=False matches the reference F.interpolate (`model.py:240`)
         torso_seg = jax.image.resize(
-            segmap[..., (2, 4)], (b, h, w, 2), "bilinear"
+            segmap[..., (2, 4)], (b, h, w, 2), "bilinear", antialias=False
         )
         torso_mask = dilate_mask(jnp.sum(torso_seg, axis=-1, keepdims=True))
         feats = feats * torso_mask[:, None, :, :, :]
@@ -411,7 +453,7 @@ class WarpBasedTorsoModel(nn.Module):
         deformation, occlusion, occlusion_2 = MotionFieldEstimator(
             num_keypoints=self.torso_kp_num,
             down_seq=arch["motion_down_seq"], up_seq=arch["motion_up_seq"],
-            name="motion_field_estimator",
+            norm_mode=self.norm_mode, name="motion_field_estimator",
         )(motion_inp, kps, kpd)
 
         def scale_grad(t):
@@ -423,17 +465,18 @@ class WarpBasedTorsoModel(nn.Module):
 
         rgb, hid = WarpGenerator(
             up_seq=arch["gen_up_seq"], n_res=arch["gen_n_res"],
-            name="deform_based_generator",
+            norm_mode=self.norm_mode, name="deform_based_generator",
         )(feats, deformation)
 
         occ2_up = jax.image.resize(
-            occlusion_2, (b, hid.shape[1], hid.shape[2], 1), "bilinear"
+            occlusion_2, (b, hid.shape[1], hid.shape[2], 1), "bilinear",
+            antialias=False,
         )
-        occ2 = nn.Sequential([
-            nn.Conv(32, (3, 3), padding=1), nn.relu,
-            nn.Conv(32, (3, 3), padding=1), nn.relu,
-            nn.Conv(1, (3, 3), padding=1), jax.nn.sigmoid,
-        ], name="occlusion_2_predictor")(jnp.concatenate([hid, occ2_up], axis=-1))
+        x2 = jnp.concatenate([hid, occ2_up], axis=-1)
+        # occlusion_2_predictor (`model.py:206-213`)
+        x2 = nn.relu(nn.Conv(32, (3, 3), padding=1, name="occ2_pred_conv0")(x2))
+        x2 = nn.relu(nn.Conv(32, (3, 3), padding=1, name="occ2_pred_conv1")(x2))
+        occ2 = jax.nn.sigmoid(nn.Conv(1, (3, 3), padding=1, name="occ2_pred_conv2")(x2))
 
         alphas = jnp.clip(occ2, 1e-5, 1 - 1e-5)
         if target_torso_mask is None:

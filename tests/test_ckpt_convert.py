@@ -378,6 +378,123 @@ def test_fvae_encoder_parity(ref_vae):
     _agree(logs, logs_t.numpy().transpose(0, 2, 1), tol=2e-4)
 
 
+@pytest.fixture(scope="module")
+def ref_facev2v():
+    """Reference facev2v networks; func_utils hard-codes .cuda(), patch it."""
+    if REF not in sys.path:
+        sys.path.insert(0, REF)
+    torch.Tensor.cuda = lambda self, *a, **k: self  # CPU oracle
+    try:
+        from modules.real3d.facev2v_warp import network as ref_net
+        from utils.commons.hparams import hparams as ref_hparams
+    except Exception as exc:  # pragma: no cover
+        pytest.skip(f"reference facev2v not importable: {exc}")
+    ref_hparams.update({
+        "torso_kp_num": 4, "torso_mask_dilate_ksize": 7,
+        "mul_torso_mask": True,
+    })
+    return ref_net
+
+
+def test_appearance_extractor_parity(ref_facev2v):
+    import jax.numpy as jnp
+
+    from real3dportrait_tpu.models.torso import AppearanceFeatureExtractor
+    from tools.convert_torch_ckpt import convert_facev2v_torso
+
+    torch.manual_seed(30)
+    tm = ref_facev2v.AppearanceFeatureExtractor("small").eval()
+    x = np.random.RandomState(30).randn(1, 3, 64, 64).astype(np.float32)
+    with torch.no_grad():
+        want = tm(torch.from_numpy(x)).numpy()  # [N,C,D,H,W]
+
+    fm = AppearanceFeatureExtractor(feat_channels=32, depth=16,
+                                    down_seq=(64, 128, 256), n_res=6,
+                                    norm_mode="affine")
+    variables = convert_facev2v_torso(_sd(tm))
+    got = fm.apply(variables, jnp.asarray(x.transpose(0, 2, 3, 1)))
+    # ours [B,D,H,W,C] -> torch [B,C,D,H,W]
+    _agree(np.asarray(got).transpose(0, 4, 1, 2, 3), want, tol=3e-4)
+
+
+def test_motion_field_estimator_parity(ref_facev2v):
+    import jax.numpy as jnp
+
+    from real3dportrait_tpu.models.torso import MotionFieldEstimator
+    from tools.convert_torch_ckpt import convert_facev2v_torso
+
+    torch.manual_seed(31)
+    tm = ref_facev2v.MotionFieldEstimator(
+        "small", input_channels=34, num_keypoints=4).eval()
+    rs = np.random.RandomState(31)
+    fs = rs.randn(1, 34, 16, 32, 32).astype(np.float32)  # D=16 (hard-coded
+    # in the reference's occlusion conv channel math)
+    kp_s = (rs.rand(1, 4, 3).astype(np.float32) - 0.5) * 1.6
+    kp_d = (rs.rand(1, 4, 3).astype(np.float32) - 0.5) * 1.6
+    eye = torch.eye(3)[None]
+    with torch.no_grad():
+        def_t, occ_t, occ2_t = tm(torch.from_numpy(fs), torch.from_numpy(kp_s),
+                                  torch.from_numpy(kp_d), eye, eye)
+
+    fm = MotionFieldEstimator(num_keypoints=4, compress_channels=4,
+                              down_seq=(32, 64, 128, 256, 512),
+                              up_seq=(512, 256, 128, 64, 32, 16),
+                              norm_mode="affine")
+    variables = convert_facev2v_torso(_sd(tm))
+    def_j, occ_j, occ2_j = fm.apply(
+        variables, jnp.asarray(fs.transpose(0, 2, 3, 4, 1)),
+        jnp.asarray(kp_s), jnp.asarray(kp_d),
+    )
+    _agree(def_j, def_t.numpy(), tol=3e-4)  # both [B,D,H,W,3]
+    _agree(np.asarray(occ_j).transpose(0, 3, 1, 2), occ_t.numpy(), tol=3e-4)
+    _agree(np.asarray(occ2_j).transpose(0, 3, 1, 2), occ2_t.numpy(), tol=3e-4)
+
+
+def test_warp_generator_parity(ref_facev2v):
+    import jax.numpy as jnp
+
+    from real3dportrait_tpu.models.torso import WarpGenerator
+    from tools.convert_torch_ckpt import convert_facev2v_torso
+
+    torch.manual_seed(32)
+    tm = ref_facev2v.Generator(input_channels=32, model_scale="small").eval()
+    # random spectral-normed convs have operator norm > 1 on images, so 6
+    # res blocks explode activations to ~1e28 and drown the comparison in
+    # amplified fp noise; inflating the stored u vectors shrinks the folded
+    # weights identically on both sides (eval-mode sigma uses stored u/v).
+    with torch.no_grad():
+        for name, buf in tm.named_buffers():
+            if name.endswith("weight_u"):
+                buf.mul_(20.0)
+    rs = np.random.RandomState(32)
+    fs = rs.randn(1, 32, 16, 16, 16).astype(np.float32)
+    # a mild deformation around the identity grid
+    from real3dportrait_tpu.models.torso import make_coordinate_grid_3d
+
+    grid = np.asarray(make_coordinate_grid_3d(16, 16, 16))[None]
+    deformation = (grid + rs.randn(1, 16, 16, 16, 3).astype(np.float32) * 0.05
+                   ).astype(np.float32)
+    with torch.no_grad():
+        rgb_t, hid_t = tm(torch.from_numpy(fs), torch.from_numpy(deformation),
+                          occlusion=None, return_hid=True)
+
+    fm = WarpGenerator(up_seq=(256, 128, 64), n_res=6, norm_mode="affine")
+    variables = convert_facev2v_torso(_sd(tm))
+    rgb_j, hid_j = fm.apply(
+        variables, jnp.asarray(fs.transpose(0, 2, 3, 4, 1)),
+        jnp.asarray(deformation),
+    )
+
+    # untrained activations blow up through 6 norm-less res adds, amplifying
+    # fp noise; compare on a std-normalized scale instead of raw magnitudes
+    def norm_agree(ours, theirs, tol):
+        scale = np.std(theirs) + 1e-12
+        _agree(np.asarray(ours) / scale, theirs / scale, tol=tol)
+
+    norm_agree(np.asarray(rgb_j).transpose(0, 3, 1, 2), rgb_t.numpy(), 2e-3)
+    norm_agree(np.asarray(hid_j).transpose(0, 3, 1, 2), hid_t.numpy(), 2e-3)
+
+
 @pytest.mark.slow
 def test_superresolution_8xdc_parity(ref):
     import jax.numpy as jnp

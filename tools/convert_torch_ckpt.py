@@ -391,6 +391,79 @@ def convert_pitch_contour_vae(sd: Mapping) -> dict:
     )
 
 
+def fold_spectral_norm(sd: dict) -> None:
+    """Fold torch ``spectral_norm`` in place (eval semantics: stored u/v,
+    ``w = weight_orig / (u^T W v)``). The reference facev2v Generator wraps
+    every conv in spectral norm (`facev2v_warp/network.py:250`,
+    ``use_weight_norm=True`` -> ``layers.py:13`` aliases it to spectral)."""
+    for k in [k for k in sd if k.endswith(".weight_orig")]:
+        base = k[: -len(".weight_orig")]
+        w = _to_np(sd.pop(k))
+        u = _to_np(sd.pop(base + ".weight_u"))
+        v = _to_np(sd.pop(base + ".weight_v"))
+        sigma = float(u @ (w.reshape(w.shape[0], -1) @ v))
+        sd[base + ".weight"] = w / sigma
+
+
+def fold_batchnorm_to_affine(sd: dict, eps: float = 1e-5) -> None:
+    """Replace every eval-mode BatchNorm in ``sd`` with a per-channel affine
+    (``X.scale``/``X.bias``), the exact eval-time form — consumed by our
+    :class:`ChannelAffine` (norm_mode='affine')."""
+    for k in [k for k in sd if k.endswith(".running_mean")]:
+        base = k[: -len(".running_mean")]
+        mean = _to_np(sd.pop(k))
+        var = _to_np(sd.pop(base + ".running_var"))
+        gamma = _to_np(sd.pop(base + ".weight", np.ones_like(mean)))
+        beta = _to_np(sd.pop(base + ".bias", np.zeros_like(mean)))
+        sd.pop(base + ".num_batches_tracked", None)
+        scale = gamma / np.sqrt(var + eps)
+        sd[base + ".scale"] = scale
+        sd[base + ".bias"] = beta - mean * scale
+
+
+# torch `_ConvBlock.layers` Sequential: CNA = (0:conv, 1:norm, 2:act),
+# NAC = (0:norm, 1:act, 2:conv). Down/Up blocks nest one ConvBlock at
+# layers.0 / layers.1 respectively (`facev2v_warp/layers.py:58-95`).
+_TORSO_RENAMES = [
+    (r"\bin_conv\.layers\.0\.", r"in_conv.conv."),
+    (r"\bin_conv\.layers\.1\.", r"in_conv.norm."),
+    (r"\bdown\.(\d+)\.layers\.0\.layers\.0\.", r"down_\1.conv."),
+    (r"\bdown\.(\d+)\.layers\.0\.layers\.1\.", r"down_\1.norm."),
+    (r"\bup\.(\d+)\.layers\.1\.layers\.0\.", r"up_\1.conv."),
+    (r"\bup\.(\d+)\.layers\.1\.layers\.1\.", r"up_\1.norm."),
+    (r"\bres\.(\d+)\.layers\.(\d)\.layers\.0\.", r"res_\1.block\2.norm."),
+    (r"\bres\.(\d+)\.layers\.(\d)\.layers\.2\.", r"res_\1.block\2.conv."),
+    (r"\bocclusion_2_predictor\.0\.", r"occ2_pred_conv0."),
+    (r"\bocclusion_2_predictor\.2\.", r"occ2_pred_conv1."),
+    (r"\bocclusion_2_predictor\.4\.", r"occ2_pred_conv2."),
+]
+
+
+def _torso_leaf(parts: tuple[str, ...], arr: np.ndarray):
+    leaf = parts[-1]
+    if leaf == "weight":
+        if arr.ndim == 5:  # Conv3d [out,in,kd,kh,kw] -> [kd,kh,kw,in,out]
+            return ("params", parts[:-1] + ("kernel",),
+                    np.ascontiguousarray(arr.transpose(2, 3, 4, 1, 0)))
+        if arr.ndim == 4:  # Conv2d OIHW -> HWIO
+            return ("params", parts[:-1] + ("kernel",),
+                    np.ascontiguousarray(arr.transpose(2, 3, 1, 0)))
+        if arr.ndim == 2:
+            return ("params", parts[:-1] + ("kernel",),
+                    np.ascontiguousarray(arr.T))
+    return convert_leaf(parts, arr)
+
+
+def convert_facev2v_torso(sd: Mapping) -> dict:
+    """Reference ``WarpBasedTorsoModelMediaPipe``
+    (`modules/real3d/facev2v_warp/model.py:198`) or any of its submodules ->
+    our ``WarpBasedTorsoModel(norm_mode="affine")`` tree."""
+    sd = {k: _to_np(v) for k, v in sd.items()}
+    fold_spectral_norm(sd)
+    fold_batchnorm_to_affine(sd)
+    return convert_state_dict(sd, renames=_TORSO_RENAMES, leaf_fn=_torso_leaf)
+
+
 def convert_osg_decoder(sd: Mapping) -> dict:
     """Reference ``OSGDecoder`` (`modules/eg3ds/models/triplane.py:166`):
     ``net.0`` (FullyConnectedLayer) -> ``net0``, ``net.2`` -> ``net1``."""
