@@ -36,6 +36,7 @@ class SuperresolutionHybrid8XDCWarp(nn.Module):
     head_threshold: float = 0.9      # htbsr_head_threshold
     weight_fuse: bool = True
     torso_version: str = "v2"        # v1 | v2 (torso_model_version)
+    torso_norm_mode: str = "gn"      # "affine" for converted torch ckpts
 
     @nn.compact
     def __call__(
@@ -84,6 +85,7 @@ class SuperresolutionHybrid8XDCWarp(nn.Module):
             )
         torso_ret = WarpBasedTorsoModel(
             torso_kp_num=self.torso_kp_num, scale=self.torso_scale,
+            version=self.torso_version, norm_mode=self.torso_norm_mode,
             name="torso_model",
         )(torso_mid, segmap, kp_s, kp_d,
           target_torso_mask=target_torso_mask, **torso_kwargs)
@@ -92,12 +94,11 @@ class SuperresolutionHybrid8XDCWarp(nn.Module):
             torso_ret["deformed_torso_hid"]
         )
 
-        x_bg = nn.Sequential([
-            nn.Conv(64, (3, 3), padding=1), lambda v: nn.leaky_relu(v, 0.01),
-            nn.Conv(self.block0_channels, (3, 3), padding=1),
-            lambda v: nn.leaky_relu(v, 0.01),
-            nn.Conv(self.block0_channels, (3, 3), padding=1),
-        ], name="bg_encoder")(bg_mid)
+        x_bg = nn.Conv(64, (3, 3), padding=1, name="bg_enc_conv0")(bg_mid)
+        x_bg = nn.Conv(self.block0_channels, (3, 3), padding=1,
+                       name="bg_enc_conv1")(nn.leaky_relu(x_bg, 0.01))
+        x_bg = nn.Conv(self.block0_channels, (3, 3), padding=1,
+                       name="bg_enc_conv2")(nn.leaky_relu(x_bg, 0.01))
 
         if self.weight_fuse:
             alpha = weights_mid
@@ -107,11 +108,10 @@ class SuperresolutionHybrid8XDCWarp(nn.Module):
             else:  # v2: alpha-cat + NoUp refinement block
                 rgb = rgb * alpha + rgb_torso * (1 - alpha)
                 x = jnp.concatenate([x * alpha, x_torso * (1 - alpha)], axis=-1)
-                x = nn.Sequential([
-                    nn.Conv(self.block0_channels, (3, 3), padding=1),
-                    lambda v: nn.leaky_relu(v, 0.01),
-                    nn.Conv(self.block0_channels, (3, 3), padding=1),
-                ], name="fuse_head_torso_convs")(x)
+                x = nn.Conv(self.block0_channels, (3, 3), padding=1,
+                            name="fuse_ht_conv0")(x)
+                x = nn.Conv(self.block0_channels, (3, 3), padding=1,
+                            name="fuse_ht_conv1")(nn.leaky_relu(x, 0.01))
                 x, rgb = SynthesisBlock(
                     in_channels=self.block0_channels,
                     out_channels=self.block0_channels, w_dim=self.w_dim,
@@ -130,12 +130,11 @@ class SuperresolutionHybrid8XDCWarp(nn.Module):
         else:
             x = jnp.concatenate([x, x_torso, x_bg], axis=-1)
 
-        x = nn.Sequential([
-            nn.Conv(64, (1, 1)), lambda v: nn.leaky_relu(v, 0.01),
-            nn.Conv(self.block0_channels, (3, 3), padding=1),
-            lambda v: nn.leaky_relu(v, 0.01),
-            nn.Conv(self.block0_channels, (3, 3), padding=1),
-        ], name="fuse_fg_bg_convs")(x)
+        x = nn.Conv(64, (1, 1), name="fuse_fb_conv0")(x)
+        x = nn.Conv(self.block0_channels, (3, 3), padding=1,
+                    name="fuse_fb_conv1")(nn.leaky_relu(x, 0.01))
+        x = nn.Conv(self.block0_channels, (3, 3), padding=1,
+                    name="fuse_fb_conv2")(nn.leaky_relu(x, 0.01))
         x, rgb = SynthesisBlock(
             in_channels=self.block0_channels, out_channels=self.block1_channels,
             w_dim=self.w_dim, resolution=self.final_resolution, img_channels=3,

@@ -260,9 +260,15 @@ class MotionFieldEstimator(nn.Module):
     down_seq: Sequence[int] = (32, 64, 128, 256, 512)
     up_seq: Sequence[int] = (512, 256, 128, 64, 32, 16)
     norm_mode: str = "gn"
+    # v2 (`facev2v_warp/network2.py:162`): condition the field on the rendered
+    # target head + its NeRF weights through a dedicated encoder/fuser.
+    use_head_cond: bool = False
+    head_hid_dim: int = 32
 
     @nn.compact
-    def __call__(self, fs: jnp.ndarray, kp_s: jnp.ndarray, kp_d: jnp.ndarray):
+    def __call__(self, fs: jnp.ndarray, kp_s: jnp.ndarray, kp_d: jnp.ndarray,
+                 tgt_head_img: jnp.ndarray | None = None,
+                 tgt_head_weights: jnp.ndarray | None = None):
         """fs [B,D,H,W,C]; kp_* [B,K,3]. Returns (deformation [B,D,H,W,3],
         occlusion [B,H,W,1], occlusion_2 [B,H,W,1])."""
         b, d, h, w, c = fs.shape
@@ -292,6 +298,29 @@ class MotionFieldEstimator(nn.Module):
             x = upsample_3d_hw(x)
             x = ConvBlock3D(ch, norm_mode=self.norm_mode, name=f"up_{i}")(x)
         x = jnp.concatenate([inp, x], axis=-1)
+
+        if self.use_head_cond:
+            # v2 head conditioning (`network2.py:191-225`): encode the
+            # rendered head+weights at 2x resolution, fuse into the volume
+            if tgt_head_img is None:
+                tgt_head_img = jnp.zeros((b, h, w, 3), fs.dtype)
+            if tgt_head_weights is None:
+                tgt_head_weights = jnp.zeros((b, h, w, 1), fs.dtype)
+            head = jnp.concatenate([tgt_head_img, tgt_head_weights], axis=-1)
+            head = jax.image.resize(head, (b, 2 * h, 2 * w, head.shape[-1]),
+                                    "bilinear", antialias=False)
+            head = ConvBlock2D(self.head_hid_dim, kernel=7,
+                               norm_mode=self.norm_mode,
+                               name="tgt_head_in_conv")(head)
+            for i in range(3):
+                head = ResBlock2D(norm_mode=self.norm_mode,
+                                  name=f"tgt_head_res_{i}")(head)
+            head = jax.image.resize(head, (b, h, w, self.head_hid_dim),
+                                    "bilinear", antialias=False)
+            head_vol = jnp.repeat(head[:, None], d, axis=1)
+            x = jnp.concatenate([x, head_vol], axis=-1)
+            x = nn.Conv(self.head_hid_dim, (7, 7, 7), padding=3,
+                        name="tgt_head_fuser")(x)
 
         mask = nn.Conv(k + 1, (7, 7, 7), padding=3, name="mask_conv")(x)
         mask = jax.nn.softmax(mask, axis=-1)  # over K+1 candidates
@@ -397,6 +426,10 @@ class WarpBasedTorsoModel(nn.Module):
     scale: str = "standard"
     grad_scale: float = 0.1
     norm_mode: str = "gn"
+    # "v1" (`model.py:198`): no head conditioning. "v2" (`model2.py:199`, the
+    # shipped `torso_model_version`): motion field conditioned on the rendered
+    # target head via the estimator's tgt_head encoder/fuser.
+    version: str = "v2"
 
     KP_SUBSETS = {4: (0, 8, 16, 27), 9: (0, 3, 6, 8, 10, 13, 16, 27, 33)}
 
@@ -429,32 +462,25 @@ class WarpBasedTorsoModel(nn.Module):
 
         seg_vol = jnp.repeat(torso_seg[:, None], d, axis=1)  # [B,D,H,W,2]
         motion_inp = jnp.concatenate([feats, seg_vol], axis=-1)
-        if tgt_head_img is not None:
-            # v2 (`facev2v_warp/model2.py:224`): condition the motion field on
-            # the rendered target head and its alpha weights
-            head_cond = jnp.concatenate(
-                [
-                    jax.image.resize(tgt_head_img, (b, h, w, 3), "bilinear"),
-                    jax.image.resize(tgt_head_weights, (b, h, w, 1), "bilinear")
-                    if tgt_head_weights is not None
-                    else jnp.zeros((b, h, w, 1)),
-                ],
-                axis=-1,
-            )
-            head_vol = jnp.repeat(
-                jax.lax.stop_gradient(head_cond)[:, None], d, axis=1
-            )
-            motion_inp = jnp.concatenate([motion_inp, head_vol], axis=-1)
 
         subset = jnp.array(self.KP_SUBSETS[self.torso_kp_num])
         kps = kp_s[:, subset]
         kpd = kp_d[:, subset]
 
+        head_kwargs = {}
+        if self.version == "v2":
+            head_kwargs = dict(
+                tgt_head_img=jax.lax.stop_gradient(tgt_head_img)
+                if tgt_head_img is not None else None,
+                tgt_head_weights=jax.lax.stop_gradient(tgt_head_weights)
+                if tgt_head_weights is not None else None,
+            )
         deformation, occlusion, occlusion_2 = MotionFieldEstimator(
             num_keypoints=self.torso_kp_num,
             down_seq=arch["motion_down_seq"], up_seq=arch["motion_up_seq"],
-            norm_mode=self.norm_mode, name="motion_field_estimator",
-        )(motion_inp, kps, kpd)
+            norm_mode=self.norm_mode, use_head_cond=(self.version == "v2"),
+            name="motion_field_estimator",
+        )(motion_inp, kps, kpd, **head_kwargs)
 
         def scale_grad(t):
             return t * self.grad_scale + jax.lax.stop_gradient(t) * (1 - self.grad_scale)

@@ -94,11 +94,19 @@ def install_ref_shims() -> None:
     cnn.ConvModule = ConvModule
     mmcv.cnn = cnn
 
+    # torchvision is only dereferenced inside constructors we never call
+    # (Hopenet, VGG perceptual losses); an empty placeholder satisfies the
+    # module-level imports.
+    torchvision = types.ModuleType("torchvision")
+    tv_models = types.ModuleType("torchvision.models")
+    torchvision.models = tv_models
+
     sys.modules.update({
         "timm": timm, "timm.models": models, "timm.models.layers": layers,
         "timm.models.registry": registry,
         "timm.models.vision_transformer": vit,
         "mmcv": mmcv, "mmcv.cnn": cnn,
+        "torchvision": torchvision, "torchvision.models": tv_models,
     })
 
 

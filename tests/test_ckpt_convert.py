@@ -384,6 +384,9 @@ def ref_facev2v():
     if REF not in sys.path:
         sys.path.insert(0, REF)
     torch.Tensor.cuda = lambda self, *a, **k: self  # CPU oracle
+    from tests.ref_shims import install_ref_shims
+
+    install_ref_shims()  # torchvision placeholder for model(2).py imports
     try:
         from modules.real3d.facev2v_warp import network as ref_net
         from utils.commons.hparams import hparams as ref_hparams
@@ -493,6 +496,75 @@ def test_warp_generator_parity(ref_facev2v):
 
     norm_agree(np.asarray(rgb_j).transpose(0, 3, 1, 2), rgb_t.numpy(), 2e-3)
     norm_agree(np.asarray(hid_j).transpose(0, 3, 1, 2), hid_t.numpy(), 2e-3)
+
+
+@pytest.mark.slow
+def test_sr_with_ref_warp_parity(ref_facev2v):
+    """Full torso/bg-aware SR fusion head (the flagship's SR stage) with the
+    shipped config: torso v2, fuse mode v2. The heaviest parity test."""
+    import jax.numpy as jnp
+
+    from real3dportrait_tpu.models.sr_with_ref import SuperresolutionHybrid8XDCWarp
+    from tools.convert_torch_ckpt import convert_sr_with_ref
+    from utils.commons.hparams import hparams as ref_hparams  # reference
+
+    ref_hparams.update({
+        "torso_model_version": "v2", "htbsr_head_weight_fuse_mode": "v2",
+        "weight_fuse": True, "htbsr_head_threshold": 0.9,
+        "torso_kp_num": 4, "torso_mask_dilate_ksize": 7,
+        "mul_torso_mask": True, "torso_inp_mode": "rgb",
+    })
+    from modules.real3d.super_resolution.sr_with_ref import (
+        SuperresolutionHybrid8XDC_Warp as TorchSRWarp,
+    )
+
+    torch.manual_seed(40)
+    tm = TorchSRWarp(32, 512, 0, True).eval()
+    with torch.no_grad():  # tame the spectral-normed generator (see above)
+        for name, buf in tm.named_buffers():
+            if name.endswith("weight_u"):
+                buf.mul_(20.0)
+
+    rs = np.random.RandomState(40)
+    b = 1
+    rgb = rs.randn(b, 3, 128, 128).astype(np.float32) * 0.3
+    x = rs.randn(b, 32, 128, 128).astype(np.float32) * 0.3
+    ws = rs.randn(b, 3, 512).astype(np.float32)
+    torso_img = rs.rand(b, 3, 256, 256).astype(np.float32) * 2 - 1
+    bg_img = rs.rand(b, 3, 256, 256).astype(np.float32) * 2 - 1
+    weights = rs.rand(b, 1, 128, 128).astype(np.float32)
+    segmap = np.zeros((b, 6, 256, 256), np.float32)
+    segmap[:, 4, 120:, :] = 1.0  # torso region
+    segmap[:, 2, 100:120, :] = 1.0  # neck
+    kp_s = (rs.rand(b, 68, 3).astype(np.float32) - 0.5) * 1.2
+    kp_d = kp_s + rs.randn(b, 68, 3).astype(np.float32) * 0.05
+    with torch.no_grad():
+        rgb_t, _ = tm(
+            torch.from_numpy(rgb), torch.from_numpy(x), torch.from_numpy(ws),
+            torch.from_numpy(torso_img), torch.from_numpy(bg_img),
+            torch.from_numpy(weights), torch.from_numpy(segmap),
+            torch.from_numpy(kp_s), torch.from_numpy(kp_d),
+            noise_mode="const", fused_modconv=False,
+        )
+
+    fm = SuperresolutionHybrid8XDCWarp(
+        sr_num_fp16_res=0, torso_version="v2", fuse_mode="v2",
+        torso_norm_mode="affine", torso_kp_num=4, torso_scale="standard",
+    )
+    variables = convert_sr_with_ref(_sd(tm))
+    got, _ = fm.apply(
+        variables, jnp.asarray(rgb.transpose(0, 2, 3, 1)),
+        jnp.asarray(x.transpose(0, 2, 3, 1)), jnp.asarray(ws),
+        jnp.asarray(torso_img.transpose(0, 2, 3, 1)),
+        jnp.asarray(bg_img.transpose(0, 2, 3, 1)),
+        jnp.asarray(weights.transpose(0, 2, 3, 1)),
+        jnp.asarray(segmap.transpose(0, 2, 3, 1)),
+        jnp.asarray(kp_s), jnp.asarray(kp_d), noise_mode="const",
+    )
+    got = np.asarray(got).transpose(0, 3, 1, 2)
+    want = rgb_t.numpy()
+    scale = np.std(want) + 1e-12
+    _agree(got / scale, want / scale, tol=5e-3)
 
 
 @pytest.mark.slow

@@ -425,6 +425,14 @@ def fold_batchnorm_to_affine(sd: dict, eps: float = 1e-5) -> None:
 # NAC = (0:norm, 1:act, 2:conv). Down/Up blocks nest one ConvBlock at
 # layers.0 / layers.1 respectively (`facev2v_warp/layers.py:58-95`).
 _TORSO_RENAMES = [
+    # v2 head conditioning (`network2.py:191-195`): Sequential(ConvBlock,
+    # ResBlock x3) — index 0 is the in-conv, 1..3 shift down by one
+    (r"\btgt_head_encoder\.0\.layers\.0\.", r"tgt_head_in_conv.conv."),
+    (r"\btgt_head_encoder\.0\.layers\.1\.", r"tgt_head_in_conv.norm."),
+    (r"\btgt_head_encoder\.(\d+)\.layers\.(\d)\.layers\.0\.",
+     lambda m: f"tgt_head_res_{int(m.group(1)) - 1}.block{m.group(2)}.norm."),
+    (r"\btgt_head_encoder\.(\d+)\.layers\.(\d)\.layers\.2\.",
+     lambda m: f"tgt_head_res_{int(m.group(1)) - 1}.block{m.group(2)}.conv."),
     (r"\bin_conv\.layers\.0\.", r"in_conv.conv."),
     (r"\bin_conv\.layers\.1\.", r"in_conv.norm."),
     (r"\bdown\.(\d+)\.layers\.0\.layers\.0\.", r"down_\1.conv."),
@@ -469,4 +477,41 @@ def convert_osg_decoder(sd: Mapping) -> dict:
     ``net.0`` (FullyConnectedLayer) -> ``net0``, ``net.2`` -> ``net1``."""
     return convert_state_dict(
         sd, renames=[(r"^net\.0\.", "net0."), (r"^net\.2\.", "net1.")]
+    )
+
+
+# StyleGAN2-family submodules inside the SR-warp head keep eq-lr 'weight'
+# params; everything else (torso nets, plain conv encoders) is flax-builtin.
+_SR_WARP_STYLEGAN_PREFIXES = ("block0", "block1", "head_torso_block")
+
+_SR_WARP_RENAMES = _TORSO_RENAMES + [
+    (r"\btorso_encoder\.0\.", r"torso_encoder."),
+    (r"\bbg_encoder\.0\.", r"bg_enc_conv0."),
+    (r"\bbg_encoder\.2\.", r"bg_enc_conv1."),
+    (r"\bbg_encoder\.4\.", r"bg_enc_conv2."),
+    (r"\bfuse_head_torso_convs\.0\.", r"fuse_ht_conv0."),
+    (r"\bfuse_head_torso_convs\.2\.", r"fuse_ht_conv1."),
+    (r"\bfuse_fg_bg_convs\.0\.", r"fuse_fb_conv0."),
+    (r"\bfuse_fg_bg_convs\.2\.", r"fuse_fb_conv1."),
+    (r"\bfuse_fg_bg_convs\.4\.", r"fuse_fb_conv2."),
+]
+
+
+def _sr_warp_leaf(parts: tuple[str, ...], arr: np.ndarray):
+    if parts[0] in _SR_WARP_STYLEGAN_PREFIXES:
+        return convert_leaf(parts, arr)
+    return _torso_leaf(parts, arr)
+
+
+def convert_sr_with_ref(sd: Mapping) -> dict:
+    """Reference ``SuperresolutionHybrid8XDC_Warp``
+    (`modules/real3d/super_resolution/sr_with_ref.py:16`) -> our
+    ``SuperresolutionHybrid8XDCWarp(torso_norm_mode="affine")``."""
+    sd = {k: _to_np(v) for k, v in sd.items()}
+    fold_spectral_norm(sd)
+    fold_batchnorm_to_affine(sd)
+    return convert_state_dict(
+        sd, renames=_SR_WARP_RENAMES, leaf_fn=_sr_warp_leaf,
+        # v3-only alpha predictor has no counterpart in fuse_mode v1/v2
+        skip=[r"head_torso_alpha_predictor"],
     )
