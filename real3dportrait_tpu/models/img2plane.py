@@ -88,6 +88,8 @@ class OSAvatarImg2Plane(nn.Module):
                 scale=self.backbone_scale if self.backbone_scale in
                 ("small", "standard", "large") else "standard",
                 vit_dim=self.composite_vit_dim,
+                norm_mode="affine" if self.head_norm_mode == "folded_bn"
+                else self.head_norm_mode,
             )
         else:
             self.img2plane_backbone = SegFormerImg2PlaneBackbone(

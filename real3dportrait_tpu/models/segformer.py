@@ -98,7 +98,7 @@ class MixFFN(nn.Module):
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:  # [B,H,W,C]
         x = nn.Dense(self.hidden, kernel_init=_dense_init)(x)
         x = DWConv(self.hidden)(x)
-        x = nn.gelu(x)
+        x = nn.gelu(x, approximate=False)  # torch nn.GELU() is erf-exact
         x = nn.Dense(self.out, kernel_init=_dense_init)(x)
         return x
 
@@ -109,6 +109,7 @@ class SRAttention(nn.Module):
     dim: int
     num_heads: int
     sr_ratio: int = 1
+    ln_eps: float = 1e-6
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:  # [B,H,W,C]
@@ -125,7 +126,7 @@ class SRAttention(nn.Module):
                 self.dim, (self.sr_ratio, self.sr_ratio),
                 strides=(self.sr_ratio, self.sr_ratio), name="sr",
             )(x)
-            kv_in = nn.LayerNorm(epsilon=1e-6, name="sr_norm")(kv_in)
+            kv_in = nn.LayerNorm(epsilon=self.ln_eps, name="sr_norm")(kv_in)
         n_kv = kv_in.shape[1] * kv_in.shape[2]
         kv = nn.Dense(self.dim * 2, kernel_init=_dense_init, name="kv")(kv_in)
         kv = kv.reshape(b, n_kv, 2, self.num_heads, head_dim)
@@ -142,14 +143,15 @@ class MiTBlock(nn.Module):
     num_heads: int
     sr_ratio: int
     mlp_ratio: int = 4
+    ln_eps: float = 1e-6
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        x = x + SRAttention(self.dim, self.num_heads, self.sr_ratio, name="attn")(
-            nn.LayerNorm(epsilon=1e-6, name="norm1")(x)
+        x = x + SRAttention(self.dim, self.num_heads, self.sr_ratio, ln_eps=self.ln_eps, name="attn")(
+            nn.LayerNorm(epsilon=self.ln_eps, name="norm1")(x)
         )
         x = x + MixFFN(self.dim * self.mlp_ratio, self.dim, name="mlp")(
-            nn.LayerNorm(epsilon=1e-6, name="norm2")(x)
+            nn.LayerNorm(epsilon=self.ln_eps, name="norm2")(x)
         )
         return x
 
@@ -158,6 +160,7 @@ class OverlapPatchEmbed(nn.Module):
     embed_dim: int
     patch_size: int
     stride: int
+    ln_eps: float = 1e-6
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -166,7 +169,7 @@ class OverlapPatchEmbed(nn.Module):
             strides=(self.stride, self.stride), padding=self.patch_size // 2,
             kernel_init=nn.initializers.variance_scaling(2.0, "fan_out", "normal"),
         )(x)
-        return nn.LayerNorm(epsilon=1e-6)(x)
+        return nn.LayerNorm(epsilon=self.ln_eps)(x)
 
 
 class MixVisionTransformer(nn.Module):

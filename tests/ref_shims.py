@@ -94,12 +94,126 @@ def install_ref_shims() -> None:
     cnn.ConvModule = ConvModule
     mmcv.cnn = cnn
 
-    # torchvision is only dereferenced inside constructors we never call
-    # (Hopenet, VGG perceptual losses); an empty placeholder satisfies the
-    # module-level imports.
+    # torchvision: the facev2v models only dereference it inside
+    # constructors we never call, but the DeepLabV3 encoder subclasses
+    # torchvision.models.resnet.ResNet — provide a faithful minimal ResNet
+    # (standard architecture, matching torchvision layer/buffer names).
     torchvision = types.ModuleType("torchvision")
     tv_models = types.ModuleType("torchvision.models")
+    tv_resnet = types.ModuleType("torchvision.models.resnet")
+
+    def conv3x3(inp, out, stride=1, groups=1, dilation=1):
+        return nn.Conv2d(inp, out, 3, stride=stride, padding=dilation,
+                         groups=groups, bias=False, dilation=dilation)
+
+    def conv1x1(inp, out, stride=1):
+        return nn.Conv2d(inp, out, 1, stride=stride, bias=False)
+
+    class BasicBlock(nn.Module):
+        expansion = 1
+
+        def __init__(self, inplanes, planes, stride=1, downsample=None,
+                     groups=1, base_width=64, dilation=1, norm_layer=None):
+            super().__init__()
+            norm_layer = norm_layer or nn.BatchNorm2d
+            self.conv1 = conv3x3(inplanes, planes, stride)
+            self.bn1 = norm_layer(planes)
+            self.relu = nn.ReLU(inplace=True)
+            self.conv2 = conv3x3(planes, planes)
+            self.bn2 = norm_layer(planes)
+            self.downsample = downsample
+            self.stride = stride
+
+        def forward(self, x):
+            identity = x
+            out = self.relu(self.bn1(self.conv1(x)))
+            out = self.bn2(self.conv2(out))
+            if self.downsample is not None:
+                identity = self.downsample(x)
+            return self.relu(out + identity)
+
+    class Bottleneck(nn.Module):
+        expansion = 4
+
+        def __init__(self, inplanes, planes, stride=1, downsample=None,
+                     groups=1, base_width=64, dilation=1, norm_layer=None):
+            super().__init__()
+            norm_layer = norm_layer or nn.BatchNorm2d
+            width = int(planes * (base_width / 64.0)) * groups
+            self.conv1 = conv1x1(inplanes, width)
+            self.bn1 = norm_layer(width)
+            self.conv2 = conv3x3(width, width, stride, groups, dilation)
+            self.bn2 = norm_layer(width)
+            self.conv3 = conv1x1(width, planes * self.expansion)
+            self.bn3 = norm_layer(planes * self.expansion)
+            self.relu = nn.ReLU(inplace=True)
+            self.downsample = downsample
+            self.stride = stride
+
+        def forward(self, x):
+            identity = x
+            out = self.relu(self.bn1(self.conv1(x)))
+            out = self.relu(self.bn2(self.conv2(out)))
+            out = self.bn3(self.conv3(out))
+            if self.downsample is not None:
+                identity = self.downsample(x)
+            return self.relu(out + identity)
+
+    class ResNet(nn.Module):
+        def __init__(self, block, layers, num_classes=1000,
+                     zero_init_residual=False, groups=1, width_per_group=64,
+                     replace_stride_with_dilation=None, norm_layer=None):
+            super().__init__()
+            self._norm_layer = norm_layer or nn.BatchNorm2d
+            self.inplanes = 64
+            self.dilation = 1
+            self.groups = groups
+            self.base_width = width_per_group
+            self.conv1 = nn.Conv2d(3, 64, 7, stride=2, padding=3, bias=False)
+            self.bn1 = self._norm_layer(64)
+            self.relu = nn.ReLU(inplace=True)
+            self.maxpool = nn.MaxPool2d(3, stride=2, padding=1)
+            self.layer1 = self._make_layer(block, 64, layers[0])
+            self.layer2 = self._make_layer(block, 128, layers[1], stride=2)
+            self.layer3 = self._make_layer(block, 256, layers[2], stride=2)
+            self.layer4 = self._make_layer(block, 512, layers[3], stride=2)
+            self.avgpool = nn.AdaptiveAvgPool2d((1, 1))
+            self.fc = nn.Linear(512 * block.expansion, num_classes)
+
+        def _make_layer(self, block, planes, blocks, stride=1):
+            norm_layer = self._norm_layer
+            downsample = None
+            if stride != 1 or self.inplanes != planes * block.expansion:
+                downsample = nn.Sequential(
+                    conv1x1(self.inplanes, planes * block.expansion, stride),
+                    norm_layer(planes * block.expansion),
+                )
+            layers = [block(self.inplanes, planes, stride, downsample,
+                            self.groups, self.base_width, self.dilation,
+                            norm_layer)]
+            self.inplanes = planes * block.expansion
+            for _ in range(1, blocks):
+                layers.append(block(self.inplanes, planes, groups=self.groups,
+                                    base_width=self.base_width,
+                                    dilation=self.dilation,
+                                    norm_layer=norm_layer))
+            return nn.Sequential(*layers)
+
+    tv_resnet.ResNet = ResNet
+    tv_resnet.BasicBlock = BasicBlock
+    tv_resnet.Bottleneck = Bottleneck
+    tv_models.resnet = tv_resnet
     torchvision.models = tv_models
+
+    # pretrainedmodels: only its settings dict is read; any-key empty dict
+    import collections
+
+    pm = types.ModuleType("pretrainedmodels")
+    pm_models = types.ModuleType("pretrainedmodels.models")
+    pm_tvm = types.ModuleType("pretrainedmodels.models.torchvision_models")
+    pm_tvm.pretrained_settings = collections.defaultdict(dict)
+    pm_models.torchvision_models = pm_tvm
+    pm.models = pm_models
 
     sys.modules.update({
         "timm": timm, "timm.models": models, "timm.models.layers": layers,
@@ -107,6 +221,9 @@ def install_ref_shims() -> None:
         "timm.models.vision_transformer": vit,
         "mmcv": mmcv, "mmcv.cnn": cnn,
         "torchvision": torchvision, "torchvision.models": tv_models,
+        "torchvision.models.resnet": tv_resnet,
+        "pretrainedmodels": pm, "pretrainedmodels.models": pm_models,
+        "pretrainedmodels.models.torchvision_models": pm_tvm,
     })
 
 

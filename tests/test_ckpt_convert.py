@@ -498,6 +498,49 @@ def test_warp_generator_parity(ref_facev2v):
     norm_agree(np.asarray(hid_j).transpose(0, 3, 1, 2), hid_t.numpy(), 2e-3)
 
 
+def test_composite_img2plane_backbone_parity():
+    """The composite (DeepLabV3-ResNet34 + dual ViT) backbone — the mode the
+    released checkpoints use (`real3d_orig/img2plane_orig.yaml`)."""
+    import jax.numpy as jnp
+
+    from real3dportrait_tpu.models.img2plane_composite import (
+        CompositeImg2PlaneBackbone,
+    )
+    from tests.ref_shims import install_ref_shims
+    from tools.convert_torch_ckpt import convert_composite_backbone
+
+    if REF not in sys.path:
+        sys.path.insert(0, REF)
+    install_ref_shims()
+    torch.Tensor.cuda = lambda self, *a, **k: self
+    from modules.img2plane.deeplabv3.decoders import my_model as ref_my_model
+    from modules.img2plane.img2plane_model import Img2PlaneModel
+
+    # avoid the imagenet weight download (zero-egress environment)
+    orig_get_encoder = ref_my_model.get_encoder
+    ref_my_model.get_encoder = lambda name, **kw: orig_get_encoder(
+        name, **{**kw, "weights": None})
+    try:
+        torch.manual_seed(50)
+        hp = {"img2plane_input_mode": "rgb",
+              "img2plane_backbone_scale": "standard"}
+        tm = Img2PlaneModel(out_channels=96, hp=hp).eval()
+    finally:
+        ref_my_model.get_encoder = orig_get_encoder
+
+    x = np.random.RandomState(50).randn(1, 3, 64, 64).astype(np.float32)
+    with torch.no_grad():
+        want = tm(torch.from_numpy(x)).numpy()  # [B,3,C,H/2,W/2]
+
+    fm = CompositeImg2PlaneBackbone(plane_channels=32, scale="standard",
+                                    vit_dim=1024, norm_mode="affine")
+    variables = convert_composite_backbone(_sd(tm))
+    got = fm.apply(variables, jnp.asarray(x.transpose(0, 2, 3, 1)))
+    got = np.asarray(got).transpose(0, 1, 4, 2, 3)
+    scale = np.std(want) + 1e-12
+    _agree(got / scale, want / scale, tol=2e-3)
+
+
 @pytest.mark.slow
 def test_sr_with_ref_warp_parity(ref_facev2v):
     """Full torso/bg-aware SR fusion head (the flagship's SR stage) with the

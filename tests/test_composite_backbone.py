@@ -10,14 +10,15 @@ from real3dportrait_tpu.models.img2plane_composite import (
 )
 
 
-def test_pixel_shuffle():
-    x = jnp.arange(1 * 2 * 2 * 8).reshape(1, 2, 2, 8).astype(jnp.float32)
-    y = pixel_shuffle(x, 2)
-    assert y.shape == (1, 4, 4, 2)
-    # depth-to-space: channel blocks become 2x2 spatial neighborhoods
-    np.testing.assert_allclose(np.asarray(y[0, 0, 0]), np.asarray(x[0, 0, 0, :2]))
-    np.testing.assert_allclose(np.asarray(y[0, 0, 1]), np.asarray(x[0, 0, 0, 2:4]))
-    np.testing.assert_allclose(np.asarray(y[0, 1, 0]), np.asarray(x[0, 0, 0, 4:6]))
+def test_pixel_shuffle_matches_torch():
+    import torch
+
+    x = np.random.RandomState(0).randn(2, 3, 8, 2, 2).astype(np.float32)
+    x_t = torch.from_numpy(x.reshape(2, 24, 2, 2))
+    want = torch.nn.functional.pixel_shuffle(x_t, 2).numpy()
+    got = pixel_shuffle(jnp.asarray(x.reshape(2, 24, 2, 2).transpose(0, 2, 3, 1)), 2)
+    np.testing.assert_allclose(np.asarray(got).transpose(0, 3, 1, 2), want,
+                               rtol=1e-6)
 
 
 def test_composite_backbone_shapes(rng):

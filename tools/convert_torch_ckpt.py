@@ -480,6 +480,44 @@ def convert_osg_decoder(sd: Mapping) -> dict:
     )
 
 
+_COMPOSITE_RENAMES = [
+    # dilated ResNet34 (`deeplabv3/encoders/resnet.py`): ModuleList layers
+    (r"\bencoder\.layer(\d)\.(\d+)\.", r"encoder.layer\1_\2."),
+    (r"\bdownsample\.0\.", r"downsample_conv."),
+    (r"\bdownsample\.1\.", r"downsample_norm."),
+    # ASPP decoder (`deeplabv3/decoders/my_decoder.py:128`): Sequential maze
+    (r"\bdecoder\.0\.convs\.([0-3])\.0\.", r"decoder.aspp_conv\1."),
+    (r"\bdecoder\.0\.convs\.4\.1\.", r"decoder.aspp_pool_conv."),
+    (r"\bdecoder\.0\.project\.0\.", r"decoder.aspp_project."),
+    (r"\bdecoder\.1\.", r"decoder.out_conv."),
+    # high-res CNN (`simple_encoders/high_resolution_encoder.py`)
+    (r"\bconv_layers\.0\.", r"conv0."),
+    (r"\bconv_layers\.2\.", r"conv1."),
+    (r"\bconv_layers\.4\.", r"conv2."),
+    (r"\bconv_layers\.6\.", r"conv3."),
+    # ViT internals shared with the MiT rename table
+    (r"\bpatch_embed\.proj\.", r"patch_embed.Conv_0."),
+    (r"\bpatch_embed\.norm\.", r"patch_embed.LayerNorm_0."),
+    (r"\battn\.norm\.", r"attn.sr_norm."),
+    (r"\bmlp\.fc1\.", r"mlp.Dense_0."),
+    (r"\bmlp\.fc2\.", r"mlp.Dense_1."),
+    (r"\bmlp\.dwconv\.dwconv\.", r"mlp.DWConv_0.Conv_0."),
+]
+
+
+def convert_composite_backbone(sd: Mapping, prefix: str = "") -> dict:
+    """Reference ``Img2PlaneModel`` (`modules/img2plane/img2plane_model.py:12`,
+    the composite backbone the released checkpoints use) -> our
+    ``CompositeImg2PlaneBackbone(norm_mode="affine")``."""
+    sd = {k[len(prefix):]: _to_np(v) for k, v in sd.items()
+          if k.startswith(prefix)}
+    fold_batchnorm_to_affine(sd)  # ResNet34 BatchNorms
+    return convert_state_dict(
+        sd, renames=_COMPOSITE_RENAMES, skip=[r"num_batches_tracked"],
+        leaf_fn=_segformer_leaf,
+    )
+
+
 # StyleGAN2-family submodules inside the SR-warp head keep eq-lr 'weight'
 # params; everything else (torso nets, plain conv encoders) is flax-builtin.
 _SR_WARP_STYLEGAN_PREFIXES = ("block0", "block1", "head_torso_block")
