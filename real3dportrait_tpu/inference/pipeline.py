@@ -82,6 +82,7 @@ class Real3DPortraitPipeline:
         self.a2m = PitchContourVAEModel(
             in_out_dim=64, audio_in_dim=self.audio_in_dim,
             use_prior_flow=bool(cfg.get("use_flow", True)),
+            norm_mode=cfg.get("a2m_norm_mode", "gn"),
         )
 
         # motion2video
@@ -91,7 +92,10 @@ class Real3DPortraitPipeline:
             triplane_feature_type=cfg.get("triplane_feature_type", "trigrid"),
             neural_rendering_resolution=int(cfg.get("neural_rendering_resolution", 128)),
             final_resolution=int(cfg.get("final_resolution", 512)),
+            backbone_mode=cfg.get("img2plane_backbone_mode", "segformer"),
             backbone_scale=cfg.get("img2plane_backbone_scale", "b0"),
+            head_norm_mode=cfg.get("head_norm_mode", "gn"),
+            plane_fusion_mode=cfg.get("phase1_plane_fusion_mode", "add"),
             secc_segformer_scale=cfg.get("secc_segformer_scale", "b0"),
             pncc_cond_mode=cfg.get("pncc_cond_mode", "cano_src_tgt"),
             sr_num_fp16_res=int(cfg.get("num_fp16_layers_in_super_resolution", 4)),
@@ -109,6 +113,7 @@ class Real3DPortraitPipeline:
                 fuse_mode=cfg.get("htbsr_head_weight_fuse_mode", "v2"),
                 head_threshold=float(cfg.get("htbsr_head_threshold", 0.9)),
                 torso_version=cfg.get("torso_model_version", "v2"),
+                torso_inp_mode=cfg.get("torso_inp_mode", "rgb_alpha"),
                 **model_kwargs,
             )
         else:
@@ -168,6 +173,13 @@ class Real3DPortraitPipeline:
                     self.model_variables["params"] = serialization.from_state_dict(
                         self.model_variables["params"], src
                     )
+                    # converted torch checkpoints also carry non-param
+                    # collections (noise_const buffers etc.)
+                    for coll, tree in restored.get("variables", {}).items():
+                        if coll in self.model_variables:
+                            self.model_variables[coll] = serialization.from_state_dict(
+                                self.model_variables[coll], tree
+                            )
                     print(f"| loaded secc2video from {path}")
 
     def _mock_cond(self, src_img: np.ndarray) -> dict:
@@ -279,6 +291,9 @@ class Real3DPortraitPipeline:
         debug_mode: bool = False,             # concat final|raw|depth per frame
         stream_only: bool = False,            # low_memory: frames go to callback only
         frame_batch: int = 1,                 # frames rendered per device step
+        segmap: np.ndarray | None = None,     # [H,W] class map; else segmenter
+        segmenter: Callable | None = None,    # frames->[T,H,W] class map
+        prepare_source_images: bool = True,   # head/torso/bg split + real kp
     ) -> np.ndarray:
         """Render all frames; returns [T,H,W,3] float in [-1,1]."""
         res = self.res
@@ -319,22 +334,66 @@ class Real3DPortraitPipeline:
             src_coeffs["id"], src_coeffs["exp"], zero, zero
         )
 
-        # canonical plane: ONCE per video (all identities in one batch)
-        cano_plane = self._cal_cano(self.model_variables, img)
+        # source preparation (`real3d_infer.py:246-262`): segment the source,
+        # split head (the img2plane input) / inpainted torso / background,
+        # and drive the torso warp with REAL keypoints reconstructed from the
+        # fitted coefficients (`real3d_infer.py:271-274,428-432`)
+        kp_drv_seq = None
+        if prepare_source_images and not batched:
+            from real3dportrait_tpu.geometry.face3d_helper import reconstruct_lm2d
+            from real3dportrait_tpu.inference.infer_utils import smooth_features_1d
+            from real3dportrait_tpu.preprocess.pipeline import naive_person_segmenter
+            from real3dportrait_tpu.preprocess.segment_utils import prepare_source
 
-        seg = jnp.zeros((n_ident, res, res, 6)).at[..., 4].set(1.0)
-        cond = {
-            "ref_torso_img": img,
-            "bg_img": img,
-            "segmap": seg,
-            "kp_src": jnp.zeros((n_ident, 68, 3)),
-            "kp_drv": jnp.zeros((n_ident, 68, 3)),
-        }
-        if bg_img is not None:
-            if bg_img.dtype == np.uint8:
-                bg_img = bg_img.astype(np.float32) / 127.5 - 1.0
-            bg = jnp.asarray(_resize_np(bg_img, res))[None]
-            cond["bg_img"] = jnp.broadcast_to(bg, img.shape)
+            img_u8 = ((np.asarray(src_img[0]) + 1) * 127.5).clip(0, 255).astype(np.uint8)
+            if segmap is None:
+                segmap = (segmenter or naive_person_segmenter)(img_u8[None])[0]
+            segmap = np.asarray(segmap).astype(np.int64)
+            bg_u8 = None
+            if bg_img is not None:
+                bg_u8 = bg_img if bg_img.dtype == np.uint8 else (
+                    (bg_img + 1) * 127.5).clip(0, 255).astype(np.uint8)
+                bg_u8 = _resize_np(bg_u8.astype(np.float32), res).astype(np.uint8)
+            prep = prepare_source(img_u8, segmap, bg_img=bg_u8)
+            to_pm1 = lambda u8: jnp.asarray(u8.astype(np.float32) / 127.5 - 1.0)[None]
+            head_img = to_pm1(prep["head_img"])
+
+            def kp_of(idc_, exp_, euler_, trans_):
+                lm = reconstruct_lm2d(self.assets, idc_, exp_, euler_, trans_)
+                lm = jnp.clip((lm - 0.5) / 0.5, -1, 1)
+                return jnp.concatenate([lm, jnp.zeros_like(lm[..., :1])], -1)
+
+            kp_src = kp_of(src_coeffs["id"], src_coeffs["exp"],
+                           src_coeffs["euler"], src_coeffs["trans"])
+            kp_drv_seq = kp_of(idc, exp_seq, euler, trans)  # [T,68,3]
+            # temporal smoothing of the driving kps (`real3d_infer.py:452`)
+            kp_drv_seq = smooth_features_1d(
+                kp_drv_seq.reshape(t, -1), kernel_size=7).reshape(t, 68, 3)
+
+            cond = {
+                "ref_torso_img": to_pm1(prep["torso_img"]),
+                "bg_img": to_pm1(prep["bg_img"]),
+                "segmap": jnp.asarray(prep["segmap_onehot"])[None],
+                "kp_src": kp_src,
+                "kp_drv": kp_drv_seq[:1],  # per-frame below
+            }
+            # the canonical plane sees the head-only image (`:469`)
+            cano_plane = self._cal_cano(self.model_variables, head_img)
+        else:
+            cano_plane = self._cal_cano(self.model_variables, img)
+            seg = jnp.zeros((n_ident, res, res, 6)).at[..., 4].set(1.0)
+            cond = {
+                "ref_torso_img": img,
+                "bg_img": img,
+                "segmap": seg,
+                "kp_src": jnp.zeros((n_ident, 68, 3)),
+                "kp_drv": jnp.zeros((n_ident, 68, 3)),
+            }
+            if bg_img is not None:
+                if bg_img.dtype == np.uint8:
+                    bg_img = bg_img.astype(np.float32) / 127.5 - 1.0
+                bg = jnp.asarray(_resize_np(bg_img, res))[None]
+                cond["bg_img"] = jnp.broadcast_to(bg, img.shape)
 
         # periodic blink schedule (`real3d_infer.py:411-426`): per-frame eye
         # close percents; only blink frames pay a host round trip for the
@@ -401,6 +460,12 @@ class Real3DPortraitPipeline:
                     secc_cond, (n_ident,) + secc_cond.shape[1:]
                 )
                 cam_i = jnp.broadcast_to(cameras[i : i + 1], (n_ident, 25))
+            if kp_drv_seq is not None:
+                if fb > 1:
+                    cond = dict(cond, kp_drv=kp_drv_seq[idxs])
+                else:
+                    cond = dict(cond, kp_drv=jnp.broadcast_to(
+                        kp_drv_seq[start : start + 1], (n_ident, 68, 3)))
             image, raw, depth = self._frame_step(
                 self.model_variables, cam_i, secc_cond, cano_plane, cond
             )
@@ -430,7 +495,10 @@ class Real3DPortraitPipeline:
             if not stream_only:
                 frames.append(frame)
         if stream_only:
-            return np.stack([frame])  # last frame only (low-memory mode)
+            # low-memory mode: frames went to the callback; return an empty
+            # array with the right trailing shape rather than a surprising
+            # single-frame stack
+            return np.zeros((0,) + np.asarray(frame).shape, np.float32)
         return np.stack(frames)
 
     # -- top level -----------------------------------------------------------
@@ -456,6 +524,14 @@ class Real3DPortraitPipeline:
         ``low_memory``: stream frames straight into the video writer instead
         of accumulating them (`real3d_infer.py` --low_memory_usage).
         """
+        if src_lm2d is not None and src_img.ndim == 3:
+            # enlarge-to-face crop (`real3d_infer.py:76,196`)
+            from real3dportrait_tpu.preprocess.segment_utils import crop_on_face_area
+
+            lm_px = np.asarray(src_lm2d)
+            if lm_px.max() <= 1.5:  # normalized landmarks -> pixels
+                lm_px = lm_px * np.array(src_img.shape[:2][::-1])
+            src_img = crop_on_face_area(src_img, lm_px)
         coeffs = self.fit_source(src_lm2d)
         feats, f0 = self.audio_to_features(wav, hubert)
         exp_seq = self.audio_to_motion(feats, f0, temperature=temperature,

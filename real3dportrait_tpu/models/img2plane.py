@@ -289,6 +289,7 @@ class OSAvatarSECCImg2PlaneTorso(OSAvatarSECCImg2Plane):
     fuse_mode: str = "v2"
     head_threshold: float = 0.9
     torso_version: str = "v2"
+    torso_inp_mode: str = "rgb_alpha"
 
     def _make_superresolution(self):
         from real3dportrait_tpu.models.sr_with_ref import SuperresolutionHybrid8XDCWarp
@@ -306,6 +307,9 @@ class OSAvatarSECCImg2PlaneTorso(OSAvatarSECCImg2Plane):
             fuse_mode=self.fuse_mode,
             head_threshold=self.head_threshold,
             torso_version=self.torso_version,
+            torso_inp_mode=self.torso_inp_mode,
+            torso_norm_mode="affine" if self.head_norm_mode == "folded_bn"
+            else self.head_norm_mode,
         )
 
     def _forward_sr(self, rgb_image, feature_image, ws, weights_image, cond,

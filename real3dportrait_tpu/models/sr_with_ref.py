@@ -37,6 +37,7 @@ class SuperresolutionHybrid8XDCWarp(nn.Module):
     weight_fuse: bool = True
     torso_version: str = "v2"        # v1 | v2 (torso_model_version)
     torso_norm_mode: str = "gn"      # "affine" for converted torch ckpts
+    torso_inp_mode: str = "rgb_alpha"  # shipped torso_inp_mode
 
     @nn.compact
     def __call__(
@@ -59,9 +60,11 @@ class SuperresolutionHybrid8XDCWarp(nn.Module):
         weights_img = jax.lax.stop_gradient(weights_img)
         ws = jnp.broadcast_to(ws[:, -1:, :], (rgb.shape[0], 3, ws.shape[-1]))
 
-        if x.shape[1] != self.input_resolution:
-            x = resize_bilinear(x, self.input_resolution, antialias=aa)
-            rgb = resize_bilinear(rgb, self.input_resolution, antialias=aa)
+        # block0 doubles spatially, so land exactly on mid//2 — smoke configs
+        # may pick neural_rendering_resolution != final_resolution/4
+        if x.shape[1] != mid // 2:
+            x = resize_bilinear(x, mid // 2, antialias=aa)
+            rgb = resize_bilinear(rgb, mid // 2, antialias=aa)
 
         rgb_mid = resize_bilinear(rgb, mid, antialias=aa)
         weights_mid = resize_bilinear(weights_img, mid, antialias=aa)
@@ -86,7 +89,7 @@ class SuperresolutionHybrid8XDCWarp(nn.Module):
         torso_ret = WarpBasedTorsoModel(
             torso_kp_num=self.torso_kp_num, scale=self.torso_scale,
             version=self.torso_version, norm_mode=self.torso_norm_mode,
-            name="torso_model",
+            inp_mode=self.torso_inp_mode, name="torso_model",
         )(torso_mid, segmap, kp_s, kp_d,
           target_torso_mask=target_torso_mask, **torso_kwargs)
         rgb_torso = torso_ret["deformed_torso_img"]

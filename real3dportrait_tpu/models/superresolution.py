@@ -54,9 +54,13 @@ class SuperresolutionHybrid8XDC(nn.Module):
         """rgb [B,h,w,3] raw image, x [B,h,w,C] feature image, ws [B,*,w_dim]."""
         use_fp16 = self.sr_num_fp16_res > 0
         ws = jnp.repeat(ws[:, -1:, :], 3, axis=1)
-        if x.shape[1] != self.input_resolution:
-            x = resize_bilinear(x, self.input_resolution, antialias=self.sr_antialias)
-            rgb = resize_bilinear(rgb, self.input_resolution, antialias=self.sr_antialias)
+        # block0 doubles spatially, so land exactly on final//4 — smoke
+        # configs may pick neural_rendering_resolution != final_resolution/4
+        if x.shape[1] != self.final_resolution // 4:
+            x = resize_bilinear(x, self.final_resolution // 4,
+                                antialias=self.sr_antialias)
+            rgb = resize_bilinear(rgb, self.final_resolution // 4,
+                                  antialias=self.sr_antialias)
         x, rgb = SynthesisBlock(
             in_channels=x.shape[-1], out_channels=self.block0_channels,
             w_dim=self.w_dim, resolution=self.final_resolution // 2, img_channels=3,

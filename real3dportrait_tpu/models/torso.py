@@ -430,6 +430,9 @@ class WarpBasedTorsoModel(nn.Module):
     # shipped `torso_model_version`): motion field conditioned on the rendered
     # target head via the estimator's tgt_head encoder/fuser.
     version: str = "v2"
+    # "rgb_alpha" (the shipped `torso_inp_mode`): the appearance extractor
+    # also sees the 2-channel neck/torso segmap (`model2.py:227-229`)
+    inp_mode: str = "rgb_alpha"
 
     KP_SUBSETS = {4: (0, 8, 16, 27), 9: (0, 3, 6, 8, 10, 13, 16, 27, 33)}
 
@@ -445,6 +448,14 @@ class WarpBasedTorsoModel(nn.Module):
         target_torso_mask: jnp.ndarray | None = None,  # [B,H,W] bool
     ) -> dict:
         arch = TORSO_PRESETS[self.scale]
+        if self.inp_mode == "rgb_alpha":
+            # append the neck/torso segmap channels at source resolution
+            bs, hs, ws = torso_src_img.shape[:3]
+            seg_src = jax.image.resize(
+                segmap[..., (2, 4)], (bs, hs, ws, 2), "bilinear",
+                antialias=False,
+            )
+            torso_src_img = jnp.concatenate([torso_src_img, seg_src], axis=-1)
         feats = AppearanceFeatureExtractor(
             arch["feat_channels"], arch["depth"],
             down_seq=arch["app_down_seq"], n_res=arch["app_n_res"],

@@ -593,6 +593,7 @@ def test_sr_with_ref_warp_parity(ref_facev2v):
     fm = SuperresolutionHybrid8XDCWarp(
         sr_num_fp16_res=0, torso_version="v2", fuse_mode="v2",
         torso_norm_mode="affine", torso_kp_num=4, torso_scale="standard",
+        torso_inp_mode="rgb",  # this oracle instance uses torso_inp_mode=rgb
     )
     variables = convert_sr_with_ref(_sd(tm))
     got, _ = fm.apply(
@@ -608,6 +609,87 @@ def test_sr_with_ref_warp_parity(ref_facev2v):
     want = rgb_t.numpy()
     scale = np.std(want) + 1e-12
     _agree(got / scale, want / scale, tol=5e-3)
+
+
+@pytest.mark.slow
+def test_secc2video_full_assembly(ref_facev2v):
+    """Convert the ENTIRE reference flagship (OSAvatarSECC_Img2plane_Torso,
+    shipped orig config) state_dict and check it drops leaf-for-leaf onto our
+    flagship's variable tree (shapes via eval_shape — no compute)."""
+    import os
+
+    import jax
+    import jax.numpy as jnp
+    import yaml
+
+    from real3dportrait_tpu.models.img2plane import OSAvatarSECCImg2PlaneTorso
+    from tests.ref_shims import patched_torch_load
+    from tools.convert_torch_ckpt import (
+        convert_secc2video,
+        flagship_model_kwargs,
+        verify_tree,
+    )
+    from utils.commons.hparams import hparams as ref_hparams
+
+    def load_chain(path):
+        if not os.path.exists(path):
+            return {}
+        cfg = {}
+        d = yaml.safe_load(open(path)) or {}
+        bases = d.get("base_config", [])
+        bases = bases if isinstance(bases, list) else [bases]
+        for b in bases:
+            bp = (os.path.normpath(os.path.join(os.path.dirname(path), b))
+                  if b.startswith(".") else os.path.join(REF, b))
+            cfg.update(load_chain(bp))
+        cfg.update({k: v for k, v in d.items() if k != "base_config"})
+        return cfg
+
+    cfg = {}
+    cfg.update(load_chain(f"{REF}/egs/egs_bases/eg3d/base.yaml"))
+    cfg.update(load_chain(f"{REF}/egs/os_avatar/img2plane.yaml"))
+    cfg.update(load_chain(
+        f"{REF}/egs/os_avatar/real3d_orig/secc_img2plane_torso_orig.yaml"))
+    ref_hparams.update(cfg)
+
+    from modules.img2plane.deeplabv3.decoders import my_model as ref_my_model
+
+    orig_get_encoder = ref_my_model.get_encoder
+    ref_my_model.get_encoder = lambda name, **kw: orig_get_encoder(
+        name, **{**kw, "weights": None})
+    try:
+        with patched_torch_load():
+            from modules.real3d.secc_img2plane_torso import (
+                OSAvatarSECC_Img2plane_Torso,
+            )
+
+            torch.manual_seed(60)
+            tm = OSAvatarSECC_Img2plane_Torso()
+    finally:
+        ref_my_model.get_encoder = orig_get_encoder
+
+    converted = convert_secc2video(_sd(tm), backbone_mode="composite")
+    extras = converted.pop("task_extra")
+    assert set(extras) == {"lambda_pertube_secc", "lambda_pertube_blink_secc"}
+
+    fm = OSAvatarSECCImg2PlaneTorso(**flagship_model_kwargs())
+    b, res = 1, 512
+    f32 = jax.ShapeDtypeStruct
+    cond = {
+        "ref_torso_img": f32((b, res, res, 3), jnp.float32),
+        "bg_img": f32((b, res, res, 3), jnp.float32),
+        "segmap": f32((b, res, res, 6), jnp.float32),
+        "kp_src": f32((b, 68, 3), jnp.float32),
+        "kp_drv": f32((b, 68, 3), jnp.float32),
+    }
+    tmpl = jax.eval_shape(
+        fm.init,
+        {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1)},
+        f32((b, res, res, 3), jnp.float32), f32((b, 25), jnp.float32),
+        cond, secc=f32((b, res, res, 9), jnp.float32),
+    )
+    problems = verify_tree(converted, dict(tmpl))
+    assert not problems, "\n".join(problems[:40])
 
 
 @pytest.mark.slow

@@ -203,9 +203,183 @@ def load_torch_state_dict(ckpt_path: str, model_name: str = "model") -> dict:
 # ---------------------------------------------------------------------------
 
 
+def _merge_collections(dst: dict, src: Mapping, scope: str) -> None:
+    for coll, tree in src.items():
+        dst.setdefault(coll, {})[scope] = tree
+
+
+def convert_secc2video(sd: Mapping, backbone_mode: str = "composite") -> dict:
+    """Reference ``OSAvatarSECC_Img2plane_Torso`` (or the head-only SECC
+    model) state_dict -> our ``OSAvatarSECCImg2PlaneTorso`` variables.
+
+    Submodule routing (reference attribute names, `img2plane_baseline.py:95`,
+    `secc_img2plane.py:29-33`, `secc_img2plane_torso.py`): the canonical
+    backbone may appear under ``img2plane_backbone`` or its alias
+    ``cano_img2plane_backbone``; ``lambda_pertube_*`` scalars belong to the
+    task's adaptive-lambda state, returned under a ``task_extra`` key.
+    Construct the flax model with ``head_norm_mode="folded_bn"`` (and the
+    shipped-config kwargs, see ``flagship_model_kwargs``).
+    """
+    sd = {k: _to_np(v) for k, v in sd.items()}
+    groups: dict[str, dict] = {}
+    extras: dict[str, np.ndarray] = {}
+    for k, v in sd.items():
+        head, _, rest = k.partition(".")
+        if head.startswith("lambda_pertube"):
+            extras[head] = np.asarray(v).reshape(())
+            continue
+        if head in ("renderer", "ray_sampler", "plane2grid_module"):
+            groups.setdefault(head, {})[rest] = v  # plane2grid handled below
+            continue
+        groups.setdefault(head, {})[rest] = v
+
+    out: dict[str, dict] = {}
+    for alias in ("img2plane_backbone", "cano_img2plane_backbone"):
+        if alias in groups:
+            if backbone_mode == "composite":
+                conv = convert_composite_backbone(groups[alias])
+            else:
+                conv = convert_segformer_backbone(groups[alias])
+            _merge_collections(out, conv, "img2plane_backbone")
+            break
+    if "secc_img2plane_backbone" in groups:
+        _merge_collections(out, convert_segformer_backbone(
+            groups["secc_img2plane_backbone"]), "secc_img2plane_backbone")
+    if "decoder" in groups:
+        _merge_collections(out, convert_osg_decoder(groups["decoder"]),
+                           "decoder")
+    if "superresolution" in groups:
+        sr = groups["superresolution"]
+        if any(k.startswith("torso_model.") for k in sr):
+            conv = convert_sr_with_ref(sr)
+        else:  # head-only model: plain SuperresolutionHybrid8XDC
+            conv = convert_superresolution(sr)
+        _merge_collections(out, conv, "superresolution")
+    handled = {"img2plane_backbone", "cano_img2plane_backbone",
+               "secc_img2plane_backbone", "decoder", "superresolution",
+               "renderer", "ray_sampler"}
+    leftovers = sorted(set(groups) - handled)
+    if leftovers:
+        print(f"| convert_secc2video: unconverted submodules: {leftovers}")
+    if extras:
+        out["task_extra"] = extras
+    return out
+
+
+def convert_audio2secc(sd: Mapping) -> dict:
+    """Reference audio2secc (``PitchContourVAEModel``/``VAEModel``) ->
+    our ``PitchContourVAEModel(norm_mode="folded_bn")`` variables."""
+    return convert_pitch_contour_vae(sd)
+
+
+def flagship_model_kwargs() -> dict:
+    """Constructor kwargs for ``OSAvatarSECCImg2PlaneTorso`` matching the
+    released checkpoints' config (`egs/os_avatar/real3d_orig/
+    secc_img2plane_torso_orig.yaml` resolved chain)."""
+    return dict(
+        triplane_hid_dim=32, triplane_depth=1, triplane_feature_type="triplane",
+        neural_rendering_resolution=128, final_resolution=512,
+        backbone_mode="composite", backbone_scale="standard",
+        secc_segformer_scale="b0", pncc_cond_mode="cano_src_tgt",
+        plane_fusion_mode="add", head_norm_mode="folded_bn",
+        sr_num_fp16_res=0, sr_channel0=256, sr_channel1=128,
+        num_samples_coarse=48, num_samples_fine=48,
+        torso_kp_num=4, torso_scale="standard", fuse_mode="v2",
+        head_threshold=0.9, torso_version="v2",
+    )
+
+
 def convert_stylegan2_generator(sd: Mapping) -> dict:
     """Reference ``Generator`` (`networks_stylegan2.py:541`)."""
     return convert_state_dict(sd)
+
+
+# ---------------------------------------------------------------------------
+# CLI: torch .ckpt files -> this framework's msgpack checkpoints
+# ---------------------------------------------------------------------------
+
+
+def _save_native_ckpt(out_dir: str, payload: dict, step: int) -> str:
+    import os
+
+    from flax import serialization
+
+    os.makedirs(out_dir, exist_ok=True)
+    path = os.path.join(out_dir, f"model_ckpt_steps_{step}.ckpt")
+    with open(path, "wb") as f:
+        f.write(serialization.msgpack_serialize(payload))
+    return path
+
+
+def _ckpt_step(ckpt_path: str, ckpt: dict) -> int:
+    import re
+
+    m = re.search(r"steps_(\d+)\.ckpt", ckpt_path)
+    if m:
+        return int(m.group(1))
+    return int(ckpt.get("global_step", 0))
+
+
+def main(argv=None) -> None:
+    """Convert released reference checkpoints for this framework.
+
+    Example::
+
+        python -m tools.convert_torch_ckpt \
+            --audio2secc checkpoints/240210_real3dportrait_orig/audio2secc_vae \
+            --secc2video checkpoints/240210_real3dportrait_orig/secc2plane_torso \
+            --out checkpoints/converted
+
+    Then run inference with ``configs/real3d_orig.yaml`` pointing the
+    pipeline at ``<out>/audio2secc`` / ``<out>/secc2video``.
+    """
+    import argparse
+    import glob
+    import os
+
+    import torch
+
+    p = argparse.ArgumentParser(description=main.__doc__)
+    p.add_argument("--audio2secc", default="", help="torch ckpt file or dir")
+    p.add_argument("--secc2video", default="", help="torch ckpt file or dir")
+    p.add_argument("--backbone_mode", default="composite",
+                   choices=["composite", "segformer"])
+    p.add_argument("--out", required=True)
+    args = p.parse_args(argv)
+
+    def resolve(path):
+        if os.path.isdir(path):
+            cands = sorted(glob.glob(os.path.join(path, "model_ckpt_steps_*.ckpt")))
+            if not cands:
+                raise FileNotFoundError(f"no model_ckpt_steps_*.ckpt in {path}")
+            path = cands[-1]
+        ckpt = torch.load(path, map_location="cpu", weights_only=False)
+        return path, ckpt
+
+    if args.audio2secc:
+        path, ckpt = resolve(args.audio2secc)
+        sd = load_torch_state_dict(path, "model")
+        conv = convert_audio2secc(sd)
+        step = _ckpt_step(path, ckpt)
+        payload = {"step": step,
+                   "params": {"model": conv["params"]},
+                   "variables": {k: v for k, v in conv.items() if k != "params"}}
+        out = _save_native_ckpt(os.path.join(args.out, "audio2secc"), payload, step)
+        print(f"| audio2secc: {path} -> {out} ({len(sd)} tensors)")
+
+    if args.secc2video:
+        path, ckpt = resolve(args.secc2video)
+        sd = load_torch_state_dict(path, "model")
+        conv = convert_secc2video(sd, backbone_mode=args.backbone_mode)
+        extras = conv.pop("task_extra", {})
+        step = _ckpt_step(path, ckpt)
+        payload = {"step": step,
+                   "params": {"gen": conv["params"]},
+                   "variables": {k: v for k, v in conv.items() if k != "params"},
+                   "task_extra": extras}
+        out = _save_native_ckpt(os.path.join(args.out, "secc2video"), payload, step)
+        print(f"| secc2video: {path} -> {out} ({len(sd)} tensors)")
+
 
 
 def convert_flattened_fc_weight(arr: np.ndarray, spatial: int) -> np.ndarray:
@@ -553,3 +727,6 @@ def convert_sr_with_ref(sd: Mapping) -> dict:
         # v3-only alpha predictor has no counterpart in fuse_mode v1/v2
         skip=[r"head_torso_alpha_predictor"],
     )
+
+if __name__ == "__main__":
+    main()
