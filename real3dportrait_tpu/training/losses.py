@@ -138,6 +138,53 @@ def weights_mask_match_loss(weights_img, head_mask):
     return jnp.mean(jnp.abs(weights_img - head_mask))
 
 
+# --- lip-rect crops -----------------------------------------------------------
+
+
+def lip_rect_centers(lm2d_px: jnp.ndarray) -> jnp.ndarray:
+    """Mouth-rect centers from posed landmarks in pixels
+    (`data_gen/runs/binarizer_nerf.py:97` get_lip_rect): the bbox center of
+    the outer-lip ring, landmarks 48:60. lm2d_px: [B,68,2] (x,y) -> [B,2]
+    (y,x) int32 centers."""
+    lips = lm2d_px[:, 48:60, :]
+    lo = jnp.min(lips, axis=1)
+    hi = jnp.max(lips, axis=1)
+    cxy = (lo + hi) * 0.5
+    return jnp.stack([cxy[:, 1], cxy[:, 0]], axis=-1).astype(jnp.int32)
+
+
+def crop_fixed_rect(img: jnp.ndarray, centers: jnp.ndarray,
+                    size: int) -> jnp.ndarray:
+    """Static-size, dynamic-position crop: img [B,H,W,C], centers [B,2]
+    (y,x) -> [B,size,size,C].
+
+    TPU-native replacement for the reference's per-sample variable-size lip
+    rects (`secc_img2plane_task.py:294-307`): a fixed crop size keeps shapes
+    static under jit (one compile, MXU-tileable), while the position stays
+    per-sample via vmap'd ``lax.dynamic_slice``.
+    """
+    h, w = img.shape[1:3]
+
+    def one(im, c):
+        y = jnp.clip(c[0] - size // 2, 0, h - size)
+        x = jnp.clip(c[1] - size // 2, 0, w - size)
+        return jax.lax.dynamic_slice(im, (y, x, 0), (size, size, im.shape[-1]))
+
+    return jax.vmap(one)(img, centers.astype(jnp.int32))
+
+
+def lip_crop_losses(pred, target, centers, size: int,
+                    perceptual_fn=None) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Mouth-crop L1 + perceptual pair (`secc_img2plane_task.py:294-307`,
+    loss keys ``*_img_lip_mae`` / ``*_img_lip_lpips``)."""
+    lip_pred = crop_fixed_rect(pred, centers, size)
+    lip_tgt = crop_fixed_rect(target, centers, size)
+    mae = jnp.mean(jnp.abs(lip_pred - lip_tgt))
+    if perceptual_fn is None:
+        perceptual_fn = laplacian_pyramid_loss
+    return mae, perceptual_fn(lip_pred, lip_tgt)
+
+
 # --- perceptual --------------------------------------------------------------
 
 
@@ -146,8 +193,11 @@ def laplacian_pyramid_loss(pred, target, levels: int = 3):
 
     Stands in for the reference's pretrained-VGG LPIPS
     (`tasks/os_avatar/loss_utils/vgg19_loss.py`) when no pretrained
-    perceptual weights are available; swap in :class:`VGGPerceptual` once
-    weights exist.
+    perceptual weights are available; tasks resolve the real criterion via
+    :func:`real3dportrait_tpu.models.perceptual.make_perceptual_fn`, which
+    returns :func:`~real3dportrait_tpu.models.perceptual.vgg19_perceptual`
+    when ``cfg['vgg19_ckpt']`` points at converted weights and this fallback
+    otherwise.
     """
 
     def down(x):

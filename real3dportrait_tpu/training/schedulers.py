@@ -55,6 +55,37 @@ def cosine_schedule(lr: float, total_steps: int, warmup: int = 0,
     return fn
 
 
+def gan_lr_schedule(lr: float, decay_rate: float = 0.95,
+                    decay_interval: int = 5000, warmup: int = 0,
+                    floor: float = 5e-6):
+    """The GAN stages' base LR: linear warmup, stepped exponential decay,
+    floored (`img2plane_task.py:43-58` / `secc_img2plane_task.py:40-66`,
+    ``ScheduleForImg2Plane``: ``max(floor, lr * rate**(step//interval))``).
+    Per-param-group gates/ramps multiply the resulting *updates* in the
+    tasks."""
+
+    def fn(step):
+        step = jnp.asarray(step, jnp.float32)
+        base = lr
+        if warmup > 0:
+            base = jnp.maximum(lr * jnp.clip(step / warmup, 0.0, 1.0), 1e-7)
+        return jnp.maximum(base * decay_rate ** jnp.floor(step / decay_interval),
+                           floor)
+
+    return fn
+
+
+def with_grad_accumulation(optimizer, cfg):
+    """``optax.MultiSteps`` wrapper when ``cfg['accumulate_grad_batches']>1``
+    (reference `utils/commons/trainer.py:403,437`): gradients average over k
+    micro-batches and the update applies on every k-th; inner-state shapes
+    are unchanged so checkpoints stay compatible per k."""
+    import optax
+
+    k = int(cfg.get("accumulate_grad_batches", 1))
+    return optax.MultiSteps(optimizer, every_k_schedule=k) if k > 1 else optimizer
+
+
 def build_schedule(cfg, lr_key: str = "lr"):
     """Construct from a config mapping (scheduler/lr/decay keys)."""
     lr = float(cfg.get(lr_key, 1e-4))

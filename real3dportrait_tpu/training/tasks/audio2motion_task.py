@@ -35,14 +35,16 @@ class Audio2MotionTask(BaseTask):
             use_eye_amp_embed=bool(cfg.get("use_eye_amp_embed", False)),
         )
         self.assets = load_or_synthetic_bfm(cfg.get("bfm_dir"))
-        self.optimizer = optax.chain(
+        from real3dportrait_tpu.training.schedulers import with_grad_accumulation
+
+        self.optimizer = with_grad_accumulation(optax.chain(
             optax.clip_by_global_norm(float(cfg.get("clip_grad_norm", 1.0)) or 1e9),
             optax.adam(
                 build_schedule(cfg),
                 b1=float(cfg.get("optimizer_adam_beta1", 0.9)),
                 b2=float(cfg.get("optimizer_adam_beta2", 0.999)),
             ),
-        )
+        ), cfg)
         self.use_syncnet = bool(cfg.get("syncnet_ckpt_dir")) and float(
             cfg.get("lambda_sync", 0.0)
         ) > 0

@@ -46,12 +46,16 @@ class EG3DTask(BaseTask):
             num_fp16_res=int(cfg.get("num_fp16_layers_in_discriminator", 4)),
             mbstd_group_size=int(cfg.get("group_size_for_mini_batch_std", 2)),
         )
-        self.opt_g = optax.adam(float(cfg.get("lr_g", 0.0025)),
-                                b1=float(cfg.get("optimizer_adam_beta1_g", 0.0)),
-                                b2=float(cfg.get("optimizer_adam_beta2_g", 0.99)))
-        self.opt_d = optax.adam(float(cfg.get("lr_d", 0.002)),
-                                b1=float(cfg.get("optimizer_adam_beta1_d", 0.0)),
-                                b2=float(cfg.get("optimizer_adam_beta2_d", 0.99)))
+        from real3dportrait_tpu.training.schedulers import with_grad_accumulation
+
+        self.opt_g = with_grad_accumulation(optax.adam(
+            float(cfg.get("lr_g", 0.0025)),
+            b1=float(cfg.get("optimizer_adam_beta1_g", 0.0)),
+            b2=float(cfg.get("optimizer_adam_beta2_g", 0.99))), cfg)
+        self.opt_d = with_grad_accumulation(optax.adam(
+            float(cfg.get("lr_d", 0.002)),
+            b1=float(cfg.get("optimizer_adam_beta1_d", 0.0)),
+            b2=float(cfg.get("optimizer_adam_beta2_d", 0.99))), cfg)
 
     def build(self, rng) -> TrainState:
         b = int(self.cfg.get("batch_size", 4))

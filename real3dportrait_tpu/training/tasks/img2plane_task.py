@@ -61,12 +61,24 @@ class Img2PlaneTask(BaseTask):
             num_fp16_res=int(cfg.get("num_fp16_layers_in_discriminator", 4)),
             mbstd_group_size=int(cfg.get("group_size_for_mini_batch_std", 2)),
         )
-        self.opt_g = optax.adam(float(cfg.get("lr_g", 1e-4)),
-                                b1=float(cfg.get("optimizer_adam_beta1_g", 0.0)),
-                                b2=float(cfg.get("optimizer_adam_beta2_g", 0.99)))
-        self.opt_d = optax.adam(float(cfg.get("lr_d", 2e-4)),
-                                b1=float(cfg.get("optimizer_adam_beta1_d", 0.0)),
-                                b2=float(cfg.get("optimizer_adam_beta2_d", 0.99)))
+        from real3dportrait_tpu.training.schedulers import (
+            gan_lr_schedule, with_grad_accumulation,
+        )
+
+        # base LR warmup + stepped decay + 1e-5 floor (`img2plane_task.py:
+        # 43-58` ScheduleForImg2Plane); group gates scale updates in the step
+        decay = float(cfg.get("lr_decay_rate", 0.95))
+        interval = int(cfg.get("lr_decay_interval", 5000))
+        warm = int(cfg.get("warmup_updates", 0))
+        self.opt_g = with_grad_accumulation(optax.adam(
+            gan_lr_schedule(float(cfg.get("lr_g", 1e-4)), decay, interval,
+                            warm, floor=1e-5),
+            b1=float(cfg.get("optimizer_adam_beta1_g", 0.0)),
+            b2=float(cfg.get("optimizer_adam_beta2_g", 0.99))), cfg)
+        self.opt_d = with_grad_accumulation(optax.adam(
+            float(cfg.get("lr_d", 2e-4)),
+            b1=float(cfg.get("optimizer_adam_beta1_d", 0.0)),
+            b2=float(cfg.get("optimizer_adam_beta2_d", 0.99))), cfg)
 
     def build(self, rng) -> TrainState:
         cfg = self.cfg
@@ -166,6 +178,20 @@ class Img2PlaneTask(BaseTask):
         g_updates, g_opt = self.opt_g.update(
             g_grads, state.opt_states["gen"], state.params["student"]
         )
+        # per-group gates on the *updates* (ScheduleForImg2Plane param
+        # groups, `img2plane_task.py:51-55`): backbone from step 0, decoder
+        # from min(2000, start_adv), SR (pretrained from EG3D) from start_adv
+        start_adv = int(cfg.get("start_adv_iters", 30000))
+        step = state.step
+        gates = {
+            "decoder": (step >= min(2000, start_adv)).astype(jnp.float32),
+            "superresolution": (step >= start_adv).astype(jnp.float32),
+        }
+        g_updates = {
+            k: jax.tree_util.tree_map(
+                lambda u: u * gates.get(k, jnp.asarray(1.0)), sub)
+            for k, sub in g_updates.items()
+        }
         student_params = optax.apply_updates(state.params["student"], g_updates)
 
         def d_loss_fn(disc_params):

@@ -39,6 +39,9 @@ class SeccImg2PlaneTorsoTask(SeccImg2PlaneTask):
             fuse_mode=cfg.get("htbsr_head_weight_fuse_mode", "v2"),
             head_threshold=float(cfg.get("htbsr_head_threshold", 0.9)),
             torso_version=cfg.get("torso_model_version", "v2"),
+            torso_inp_mode=cfg.get("torso_inp_mode", "rgb_alpha"),
+            backbone_mode=cfg.get("img2plane_backbone_mode", "segformer"),
+            head_norm_mode=cfg.get("head_norm_mode", "gn"),
         )
 
     def _gen_apply_kwargs(self, batch):
@@ -107,6 +110,19 @@ class SeccImg2PlaneTorsoTask(SeccImg2PlaneTask):
         batch["kp_drv"] = kp(rec["src_id"], rec["tgt_exp"], rec["tgt_euler"],
                              rec["tgt_trans"])
         return batch
+
+    def ood_probe_batch(self) -> dict | None:
+        probe = super().ood_probe_batch()
+        if probe is not None and "ref_torso_img" not in probe:
+            res = int(probe["src_img"].shape[1])
+            probe.update({
+                "ref_torso_img": probe["src_img"],
+                "bg_img": probe["src_img"],
+                "segmap": jnp.zeros((1, res, res, 6)).at[..., 4].set(1.0),
+                "kp_src": jnp.zeros((1, 68, 3)),
+                "kp_drv": jnp.zeros((1, 68, 3)),
+            })
+        return probe
 
     def synthetic_batch(self, rng: np.random.RandomState) -> dict:
         batch = super().synthetic_batch(rng)

@@ -4,7 +4,8 @@ Equivalent of `tasks/os_avatar/audio_lm3d_syncnet.py:34`: trains the
 audio/mouth-landmark sync discriminator with BCE on cosine similarity over
 positive and mined-negative clip pairs. Negative mining (same-person
 temporal offsets + cross-person swaps, ratios 0.4/0.3/0.2/0.1) happens in
-the data layer; the step consumes (hubert_clip, mouth_clip, label).
+:class:`real3dportrait_tpu.data.datasets.SyncNetDataset`; the step consumes
+fixed-shape (hubert_clip, mouth_clip, label) batches.
 """
 
 from __future__ import annotations
@@ -35,7 +36,9 @@ class SyncNetTask(BaseTask):
             float(cfg.get("lr_decay_rate", 0.98)),
             int(cfg.get("lr_decay_interval", 5000)),
         )
-        self.optimizer = optax.adam(schedule)
+        from real3dportrait_tpu.training.schedulers import with_grad_accumulation
+
+        self.optimizer = with_grad_accumulation(optax.adam(schedule), cfg)
 
     def build(self, rng) -> TrainState:
         hubert = jnp.zeros((1, 10, 1024))
@@ -78,6 +81,28 @@ class SyncNetTask(BaseTask):
     def val_step(self, state, batch, rng):
         loss, metrics = self._loss(state.params["syncnet"], batch)
         return {"val_loss": loss, **{f"val_{k}": v for k, v in metrics.items()}}
+
+    def _mined_batches(self, split: str, shuffle: bool, seed: int):
+        import os
+
+        store = os.path.join(str(self.cfg.get("binary_data_dir", "")), split)
+        if not os.path.isfile(store + ".idx"):
+            return None
+        from real3dportrait_tpu.data.datasets import SyncNetDataset
+
+        ds = SyncNetDataset(store, self.cfg, shuffle=shuffle, seed=seed)
+        # the 'phase' key is a host-side list of strings (mix diagnostics);
+        # strip it before the batch crosses into the jitted step
+        return ({k: v for k, v in b.items() if k != "phase"}
+                for b in ds.batches())
+
+    def train_data(self):
+        real = self._mined_batches("train", True, int(self.cfg.get("seed", 0)))
+        yield from (real if real is not None else super().train_data())
+
+    def val_data(self):
+        real = self._mined_batches("val", False, 1234)
+        yield from (real if real is not None else super().val_data())
 
     def synthetic_batch(self, rng: np.random.RandomState) -> dict:
         b = int(self.cfg.get("batch_size", 4))

@@ -115,22 +115,28 @@ class Trainer:
                     val_step(state, shard_batch(batch, self.mesh), jax.random.PRNGKey(i))
 
             train_iter = iter(self.task.train_data())
+            # step is mirrored on the host (one device_get at restore time):
+            # fetching state.step every iteration would force a host<->device
+            # sync in the hot loop. Metrics likewise stay device-side until
+            # the log interval — meters hold DeviceArrays, fetched in ONE
+            # device_get per interval.
+            step = int(jax.device_get(state.step))
             meters: dict[str, list] = {}
             t0 = time.time()
-            while int(jax.device_get(state.step)) < self.max_updates:
+            while step < self.max_updates:
                 batch = next(train_iter)
                 rng, step_rng = jax.random.split(rng)
                 state, metrics = train_step(state, shard_batch(batch, self.mesh), step_rng)
-                step = int(jax.device_get(state.step))
-
-                total = metrics.get("total_loss")
-                if total is not None and not np.isfinite(jax.device_get(total)):
-                    print(f"| WARNING: non-finite total_loss at step {step}")
+                step += 1
                 for k, v in metrics.items():
-                    meters.setdefault(k, []).append(float(jax.device_get(v)))
+                    meters.setdefault(k, []).append(v)
 
                 if step % self.logger.log_interval == 0:
-                    avg = {k: float(np.mean(v)) for k, v in meters.items()}
+                    host = jax.device_get(meters)
+                    avg = {k: float(np.mean(v)) for k, v in host.items()}
+                    total = host.get("total_loss")
+                    if total is not None and not np.all(np.isfinite(total)):
+                        print(f"| WARNING: non-finite total_loss near step {step}")
                     avg["steps_per_sec"] = self.logger.log_interval / max(
                         time.time() - t0, 1e-9
                     )
@@ -140,6 +146,7 @@ class Trainer:
 
                 if step % self.val_check_interval == 0:
                     self.run_validation(state, val_step)
+                    self.dump_val_images(state, step)
                     ckpt.save_checkpoint(
                         self.work_dir, step, self._to_state_dict(state),
                         num_keep=self.num_ckpt_keep,
@@ -158,6 +165,28 @@ class Trainer:
         from flax import serialization
 
         return serialization.to_state_dict(jax.device_get(state))
+
+    def dump_val_images(self, state, step: int) -> list[str]:
+        """Visual regression dumps (`secc_img2plane_task.py:672-741`): tasks
+        exposing ``val_images(state, batch, rng) -> {name: uint8 image}``
+        get their grids (incl. any fixed OOD probe) written as PNGs under
+        ``work_dir/val_images/iter<step>/`` each validation."""
+        if not hasattr(self.task, "val_images") or not bool(
+            self.cfg.get("save_val_images", True)
+        ):
+            return []
+        import cv2
+
+        batch = next(iter(self.task.val_data()))
+        images = self.task.val_images(state, batch, jax.random.PRNGKey(0))
+        out_dir = os.path.join(self.work_dir, "val_images", f"iter{step}")
+        os.makedirs(out_dir, exist_ok=True)
+        paths = []
+        for name, img in images.items():
+            p = os.path.join(out_dir, f"{name}.png")
+            cv2.imwrite(p, np.asarray(img)[..., ::-1])
+            paths.append(p)
+        return paths
 
     def run_validation(self, state, val_step) -> dict:
         metrics: dict[str, list] = {}

@@ -28,6 +28,8 @@ TINY_GAN = {
     "update_src2src_interval": 2,
     "start_adv_iters": 0,
     "stop_update_i2p_iters": 100,
+    "group_warmup_iters": 0,
+    "start_update_sr_iters": 0,
     "torso_model_scale": "tiny",
 }
 

@@ -26,9 +26,18 @@ TINY_GAN = {
     "group_size_for_mini_batch_std": 2,
     "reg_interval_g": 2,
     "reg_interval_d": 2,
+    "reg_interval_g_cond": 2,
     "update_src2src_interval": 2,
+    # pertube losses on tiny random planes sit well below these targets, so
+    # use tiny targets to force the adaptive lambdas to move in the test
+    "target_pertube_secc_loss": 1e-6,
+    "target_pertube_blink_secc_loss": 1e-6,
     "start_adv_iters": 0,
     "stop_update_i2p_iters": 100,
+    # zero the reference's param-group warmup gates so the tiny test
+    # exercises updates from step 0
+    "group_warmup_iters": 0,
+    "start_update_sr_iters": 0,
     "mesh_shape": {"data": -1},
 }
 
@@ -166,10 +175,25 @@ def test_secc_img2plane_task_step():
     assert int(state.step) == 2
     assert _leaves_finite(metrics)
     assert "g/mse" in metrics and "d/loss" in metrics and "g/adv" in metrics
-    # adaptive lambda moved off its init
+    assert "g/lip_mae" in metrics and "g/lip_percep" in metrics
+    assert "g/pertube_blink_secc" in metrics
+    # adaptive lambdas moved off their init on the cond-reg step
+    # (step 2 == reg_interval_g_cond, loss above the tiny target)
     assert float(state.extra["lambda_pertube_secc"]) != 0.0
+    assert float(state.extra["lambda_pertube_blink_secc"]) != 0.0
     val = jax.jit(task.val_step)(state, batch, jax.random.PRNGKey(2))
     assert "val_psnr" in val
+    # validation visual regression (`secc_img2plane_task.py:672-741`):
+    # per-sample strips + depth pairs + the fixed OOD probe
+    images = task.val_images(state, batch, jax.random.PRNGKey(3), max_samples=1)
+    assert "ref_mv_reconraw_predraw_recon_pred_00000" in images
+    assert "depth_recon_pred_00000" in images
+    assert "ood_probe" in images
+    strip = images["ref_mv_reconraw_predraw_recon_pred_00000"]
+    assert strip.dtype == np.uint8 and strip.shape == (32, 32 * 8, 3)
+    assert images["ood_probe"].shape == (32, 32, 3)
+    # the probe is cached and fixed across validations
+    assert task.ood_probe_batch() is task.ood_probe_batch()
 
 
 def test_secc_task_grad_gates():
@@ -178,8 +202,10 @@ def test_secc_task_grad_gates():
     cfg = FrozenConfig({**TINY_GAN, "start_adv_iters": 5, "stop_update_i2p_iters": 3,
                         "two_stage_training": True})
     task = SeccImg2PlaneTask(cfg)
-    gates0 = task._grad_gates(jnp.asarray(0))
-    assert float(gates0["img2plane_backbone"]) == 1.0
+    # cano group ramps linearly toward lr_mul over start_adv+20000 steps
+    # (`secc_img2plane_task.py:58`)
+    gates1 = task._grad_gates(jnp.asarray(1))
+    assert float(gates1["img2plane_backbone"]) == pytest.approx(1.0 / 20005)
     gates4 = task._grad_gates(jnp.asarray(4))
     assert float(gates4["img2plane_backbone"]) == 0.0  # past stop_i2p
     assert float(gates4["secc_img2plane_backbone"]) == 1.0
@@ -323,3 +349,49 @@ def test_parallel_map():
     assert out == [i * i for i in range(10)]
     pairs = dict(iter_parallel(lambda x: -x, range(5), num_workers=2))
     assert pairs == {i: -i for i in range(5)}
+
+
+def test_trainer_dumps_val_images(tmp_path):
+    """Trainer writes task-provided validation images as PNGs under
+    work_dir/val_images/iter<step>/ each validation."""
+    from real3dportrait_tpu.training.tasks.syncnet_task import SyncNetTask
+    from real3dportrait_tpu.training.trainer import Trainer
+
+    class ImgTask(SyncNetTask):
+        def val_images(self, state, batch, rng):
+            return {"probe": np.full((8, 8, 3), 128, np.uint8)}
+
+    cfg = FrozenConfig({
+        "batch_size": 2, "syncnet_base_hid_size": 8, "syncnet_out_hid_size": 16,
+        "lr": 1e-3, "max_updates": 2, "val_check_interval": 2,
+        "num_sanity_val_steps": 0, "eval_max_batches": 1, "tb_log_interval": 2,
+        "mesh_shape": {"data": -1}, "seed": 0,
+    })
+    task = ImgTask(cfg)
+    trainer = Trainer(cfg, task, work_dir=str(tmp_path))
+    trainer.fit()
+    assert os.path.isfile(os.path.join(tmp_path, "val_images", "iter2",
+                                       "probe.png"))
+
+
+def test_grad_accumulation_syncnet():
+    """accumulate_grad_batches=k: params move only every k-th micro-step and
+    the k-step update matches the mean-gradient update (optax.MultiSteps)."""
+    from real3dportrait_tpu.config import FrozenConfig
+    from real3dportrait_tpu.training.tasks.syncnet_task import SyncNetTask
+
+    cfg = FrozenConfig({"batch_size": 2, "accumulate_grad_batches": 2,
+                        "syncnet_num_layers_per_block": 1,
+                        "syncnet_base_hid_size": 8,
+                        "syncnet_out_hid_size": 16})
+    task = SyncNetTask(cfg)
+    state = task.build(jax.random.PRNGKey(0))
+    batch = task.synthetic_batch(np.random.RandomState(0))
+    step = jax.jit(task.train_step)
+    p0 = jax.tree_util.tree_leaves(state.params)[0].copy()
+    state, _ = step(state, batch, jax.random.PRNGKey(1))
+    # micro-step 1 of 2: no parameter movement yet
+    assert np.allclose(jax.tree_util.tree_leaves(state.params)[0], p0)
+    state, _ = step(state, batch, jax.random.PRNGKey(2))
+    # micro-step 2: the accumulated update applies
+    assert not np.allclose(jax.tree_util.tree_leaves(state.params)[0], p0)
