@@ -94,7 +94,10 @@ def child_main() -> None:
 
     n_warmup, n_iters, n_windows = (1, 2, 2) if tiny else (2, 10, 3)
 
+    t0 = time.time()
+    _report(results, event="building_flagship")
     frame_step, (variables, cam, secc, cano, cond) = ge._flagship(tiny=tiny)
+    _report(results, event="flagship_ready", seconds=round(time.time() - t0, 1))
     step = jax.jit(frame_step)
 
     t0 = time.time()
@@ -226,7 +229,7 @@ def parent_main() -> None:
         )
         # Poll: kill the child if it stops making progress (no new result
         # lines for `stall_s`) or the global deadline passes.
-        stall_s = 240  # must cover the ~90s first-compile quietly
+        stall_s = 420  # must cover the init+cano+step first-compiles quietly
         last_size, last_progress = -1, time.time()
         while proc.poll() is None:
             time.sleep(2)

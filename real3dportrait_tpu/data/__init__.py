@@ -1,5 +1,9 @@
 from real3dportrait_tpu.data.collate import batch_by_size, collate_nd, make_mask
-from real3dportrait_tpu.data.datasets import Audio2MotionDataset, Motion2VideoDataset
+from real3dportrait_tpu.data.datasets import (
+    Audio2MotionDataset,
+    Motion2VideoDataset,
+    SyncNetDataset,
+)
 from real3dportrait_tpu.data.indexed_dataset import IndexedDataset, IndexedDatasetBuilder
 
 __all__ = [
@@ -8,6 +12,7 @@ __all__ = [
     "make_mask",
     "Audio2MotionDataset",
     "Motion2VideoDataset",
+    "SyncNetDataset",
     "IndexedDataset",
     "IndexedDatasetBuilder",
 ]

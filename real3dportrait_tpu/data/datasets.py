@@ -6,7 +6,10 @@ Equivalents of `tasks/os_avatar/dataset_utils/`:
   sequences, token-bucketed, padded to multiples of 8 frames
   (`audio2motion_dataset.py:116`);
 * :class:`Motion2VideoDataset` — (src, tgt) frame pairs >= min_offset apart
-  with images, SECC coefficients and camera (`motion2video_dataset.py:213`).
+  with images, SECC coefficients and camera (`motion2video_dataset.py:213`);
+* :class:`SyncNetDataset` — mined (audio, mouth-landmark, label) clip pairs
+  with the reference's positive/negative phase mix
+  (`audio_lm3d_syncnet.py:174-251`, `syncnet_dataset.py:56-82`).
 
 Record schema written by the binarizer (`binarizer_th1kh.py:42-120`):
 ``{'id', 'exp', 'euler', 'trans', 'f0', 'hubert' or 'mel', 'blink',
@@ -79,31 +82,181 @@ class Audio2MotionDataset:
                 }
 
 
+class SyncNetDataset:
+    """Clip-pair miner for the SyncNet stage.
+
+    Yields fixed-shape batches ``{'hubert_clip' [N,10,A], 'mouth_clip'
+    [N,5,60], 'label' [N]}`` with the reference's phase mix
+    (`audio_lm3d_syncnet.py:174-183`): positives 0.4, same-person
+    small-temporal-offset negatives 0.3 (offset in +-[2,5] frames),
+    large-offset negatives 0.2 (+-[5,10]), cross-person negatives 0.1
+    (random-offset audio from a different video). A 5-frame mouth window
+    (0.2 s at 25 fps) pairs with a 10-frame audio window (50 Hz features),
+    `audio_lm3d_syncnet.py:171-173`.
+
+    TPU-native notes: mining is host-side numpy over the binarized store, so
+    the jitted step always sees the same static clip-batch shape (one
+    compile); mouth landmarks come from the same jitted
+    ``reconstruct_idexp_lm3d`` graph the audio2motion stage uses and are
+    cached per video.
+    """
+
+    PHASES = (("pos", 0.4), ("neg_small", 0.3), ("neg_large", 0.2),
+              ("neg_swap", 0.1))
+    CLIP_LEN = 5  # video frames; audio clips are 2x (`:171-173`)
+
+    def __init__(self, path: str, cfg, assets=None, shuffle: bool = True,
+                 seed: int = 0, cache_videos: int = 64):
+        self.ds = IndexedDataset(path)
+        self.cfg = cfg
+        self.rng = np.random.RandomState(seed)
+        if assets is None:
+            from real3dportrait_tpu.geometry import load_or_synthetic_bfm
+
+            assets = load_or_synthetic_bfm(cfg.get("bfm_dir"))
+        self.assets = assets
+        self.audio_key = ("hubert" if cfg.get("audio_type", "hubert") == "hubert"
+                          else "mel")
+        self.cache_videos = cache_videos
+        self._cache: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+
+    def __len__(self):
+        return len(self.ds)
+
+    def _mouth_and_audio(self, idx: int) -> tuple[np.ndarray, np.ndarray]:
+        """Cached ([t,60] mouth landmark offsets, [2t,A] audio) per video."""
+        if idx not in self._cache:
+            import jax.numpy as jnp
+
+            from real3dportrait_tpu.geometry.face3d_helper import (
+                reconstruct_idexp_lm3d,
+            )
+
+            item = self.ds[idx]
+            exp = np.asarray(item["exp"], np.float32)
+            t = len(exp)
+            idc = np.asarray(item["id"], np.float32).reshape(-1, 80)
+            if len(idc) != t:  # global id -> broadcast (`syncnet_dataset.py:67`)
+                idc = np.broadcast_to(idc[:1], (t, 80))
+            lm = np.asarray(reconstruct_idexp_lm3d(
+                self.assets, jnp.asarray(idc), jnp.asarray(exp)))
+            mouth = lm[:, 48:68].reshape(t, -1)
+            audio = np.asarray(item[self.audio_key], np.float32)
+            t = min(t, len(audio) // 2)
+            if len(self._cache) >= self.cache_videos:
+                self._cache.pop(next(iter(self._cache)))
+            self._cache[idx] = (mouth[:t], audio[: 2 * t])
+        return self._cache[idx]
+
+    def _usable(self) -> list[int]:
+        need = self.CLIP_LEN + 11  # room for the largest offset
+        idxs = [i for i in range(len(self.ds))
+                if len(self.ds[i]["exp"]) >= need]
+        assert idxs, f"no videos with >= {need} frames for syncnet mining"
+        return idxs
+
+    def mine_clip(self, phase: str, idxs: list[int]) -> tuple:
+        L = self.CLIP_LEN
+        rng = self.rng
+        i = idxs[rng.randint(len(idxs))]
+        mouth, audio = self._mouth_and_audio(i)
+        t = len(mouth)
+        if phase == "pos":
+            offset = 0
+        elif phase == "neg_small":
+            offset = int(rng.choice([-1, 1])) * rng.randint(2, 6)
+        elif phase == "neg_large":
+            offset = int(rng.choice([-1, 1])) * rng.randint(5, 11)
+        else:  # neg_swap: random offset, audio from a different video
+            offset = rng.randint(-10, 11)
+        t0 = rng.randint(max(0, -offset), t - L - max(0, offset) + 1)
+        mouth_clip = mouth[t0 : t0 + L]
+        if phase == "neg_swap" and len(idxs) > 1:
+            j = idxs[rng.randint(len(idxs))]
+            while j == i:
+                j = idxs[rng.randint(len(idxs))]
+            _, audio = self._mouth_and_audio(j)
+            a0 = min(2 * (t0 + offset), len(audio) - 2 * L)
+        else:
+            a0 = 2 * (t0 + offset)
+        audio_clip = audio[a0 : a0 + 2 * L]
+        return mouth_clip, audio_clip, (1.0 if phase == "pos" else 0.0), phase
+
+    def batches(self, num_clip_pairs: int | None = None):
+        n = num_clip_pairs or int(self.cfg.get("syncnet_num_clip_pairs", 256))
+        counts = {k: int(n * r) for k, r in self.PHASES}
+        counts["pos"] += n - sum(counts.values())  # remainder -> positives
+        idxs = self._usable()
+        while True:
+            mouth_lst, mel_lst, labels, phases = [], [], [], []
+            for phase, count in counts.items():
+                for _ in range(count):
+                    m, a, lab, ph = self.mine_clip(phase, idxs)
+                    mouth_lst.append(m)
+                    mel_lst.append(a)
+                    labels.append(lab)
+                    phases.append(ph)
+            yield {
+                "hubert_clip": np.stack(mel_lst),
+                "mouth_clip": np.stack(mouth_lst),
+                "label": np.asarray(labels, np.float32),
+                "phase": phases,  # host-side diagnostic; dropped before jit
+            }
+
+
 class Motion2VideoDataset:
-    """(src, tgt) frame-pair sampler for the secc2plane/torso stages."""
+    """(src, tgt) frame-pair sampler for the secc2plane/torso stages
+    (`motion2video_dataset.py:213-341`).
+
+    Reference parity: the temporal offset between the pair is adaptive —
+    ``min(max_offset, max((t-1-j)//2, j//2))`` with resampling (`:298-301`)
+    — and each frame carries neighbor-frame perturbed expressions
+    ``*_pertube_exp_1`` (the +-1-frame exp) and ``*_pertube_exp_2`` (its
+    mirror ``2*exp - exp_1``, `:290-294,336-339`) that feed the SECC-plane
+    Laplacian regularizer of the task.
+    """
 
     def __init__(self, path: str, cfg, shuffle: bool = True, seed: int = 0,
-                 min_offset: int = 25):
+                 min_offset: int | None = None):
         self.ds = IndexedDataset(path)
         self.cfg = cfg
         self.shuffle = shuffle
-        self.min_offset = min_offset
+        # cfg-driven cap on the adaptive offset (reference hardcodes 50)
+        self.max_offset = int(min_offset if min_offset is not None
+                              else cfg.get("sample_pair_max_offset", 50))
         self.rng = np.random.RandomState(seed)
 
     def __len__(self):
         return len(self.ds)
 
+    def _pertube_exps(self, exp: np.ndarray, i: int) -> tuple:
+        """Neighbor-frame perturbation pair for frame i (`:290-294`)."""
+        t = len(exp)
+        cands = [k for k in (i - 1, i + 1) if 0 <= k < t]
+        p1 = exp[int(self.rng.choice(cands))]
+        return p1, 2.0 * exp[i] - p1
+
     def sample_pair(self, item) -> dict:
         t = len(item["exp"])
         i = self.rng.randint(0, t)
-        lo, hi = max(0, i - self.min_offset), min(t - 1, i + self.min_offset)
-        candidates = list(range(0, lo)) + list(range(hi + 1, t))
-        j = self.rng.choice(candidates) if candidates else (t - 1 - i)
+        # adaptive min offset with resampling (`:298-301`): pairs near the
+        # clip edges accept smaller offsets instead of being rejected forever
+        j = self.rng.randint(0, t)
+        for _ in range(20):
+            min_off = min(self.max_offset, max((t - 1 - j) // 2, j // 2))
+            if abs(j - i) >= min_off:
+                break
+            j = self.rng.randint(0, t)
         out = {"src_idx": i, "tgt_idx": j}
         for k in ("id", "exp", "euler", "trans"):
             arr = np.asarray(item[k], np.float32)
             out[f"src_{k}"] = arr[i] if arr.ndim > 1 else arr
             out[f"tgt_{k}"] = arr[j] if arr.ndim > 1 else arr
+        exp = np.asarray(item["exp"], np.float32)
+        (out["src_pertube_exp_1"],
+         out["src_pertube_exp_2"]) = self._pertube_exps(exp, i)
+        (out["tgt_pertube_exp_1"],
+         out["tgt_pertube_exp_2"]) = self._pertube_exps(exp, j)
         for k in ("head_imgs", "com_imgs", "torso_imgs", "bg_img", "segmaps"):
             if k in item:
                 arr = item[k]

@@ -35,11 +35,23 @@ def list_metrics() -> list[str]:
 
 
 def calc_metric(name: str, **kwargs) -> dict:
-    """Run a registered metric (`metric_main.py:calc_metric`)."""
+    """Run a registered metric (`metric_main.py:calc_metric`).
+
+    The payload carries ``extractor`` provenance: feature-based scores
+    (fid/kid/pr) computed with the random-projection fallback are internally
+    consistent for A/B comparison but NOT comparable to published
+    Inception-V3 numbers — the flag makes that machine-readable instead of a
+    docstring footnote.
+    """
     if name not in _METRICS:
         raise KeyError(f"unknown metric {name!r}; known: {list_metrics()}")
     value = _METRICS[name](**kwargs)
-    return {"results": {name: value}, "metric": name}
+    out = {"results": {name: value}, "metric": name}
+    if name in ("fid", "kid", "pr50k"):
+        custom = kwargs.get("extractor") is not None
+        out["extractor"] = "custom" if custom else "random_projection"
+        out["comparable_to_published"] = bool(custom)
+    return out
 
 
 # --- statistics -------------------------------------------------------------

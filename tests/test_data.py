@@ -96,5 +96,58 @@ def test_motion2video_pairs(tmp_path):
     assert batch["src_exp"].shape == (3, 64)
     assert batch["tgt_euler"].shape == (3, 3)
     assert batch["src_head_imgs"].shape == (3, 8, 8, 3)
-    # pairs respect the minimum temporal offset
-    assert np.all(np.abs(batch["src_idx"] - batch["tgt_idx"]) >= 10)
+    # pairs respect the ADAPTIVE minimum offset (`motion2video_dataset.py:
+    # 298-301`): min(cap, max((t-1-j)//2, j//2)) for t=64, cap=10
+    j = batch["tgt_idx"]
+    min_off = np.minimum(10, np.maximum((63 - j) // 2, j // 2))
+    assert np.all(np.abs(batch["src_idx"] - j) >= min_off)
+    # neighbor-frame perturbed expressions and their mirrors (`:290-294`)
+    assert batch["tgt_pertube_exp_1"].shape == (3, 64)
+    np.testing.assert_allclose(
+        batch["tgt_pertube_exp_2"], 2 * batch["tgt_exp"] - batch["tgt_pertube_exp_1"],
+        rtol=1e-5, atol=1e-6,
+    )
+
+
+def test_syncnet_dataset_mining_mix(tmp_path):
+    from real3dportrait_tpu.data import SyncNetDataset
+
+    path = str(tmp_path / "sync")
+    binarize(make_synthetic_records(n_videos=3, t=40), path)
+    cfg = FrozenConfig({"syncnet_num_clip_pairs": 40})
+    ds = SyncNetDataset(path, cfg, seed=0)
+    batch = next(ds.batches())
+    # fixed clip-batch shapes: 5-frame mouth window, 10-frame audio window
+    assert batch["mouth_clip"].shape == (40, 5, 60)
+    assert batch["hubert_clip"].shape == (40, 10, 1024)
+    assert batch["label"].shape == (40,)
+    # the reference's phase mix 0.4/0.3/0.2/0.1 (`audio_lm3d_syncnet.py:174`)
+    from collections import Counter
+
+    mix = Counter(batch["phase"])
+    assert mix == {"pos": 16, "neg_small": 12, "neg_large": 8, "neg_swap": 4}
+    labels_by_phase = {
+        ph: batch["label"][i] for i, ph in enumerate(batch["phase"])
+    }
+    assert labels_by_phase["pos"] == 1.0
+    assert all(batch["label"][i] == 0.0 for i, ph in enumerate(batch["phase"])
+               if ph != "pos")
+    # mouth clips carry real landmark structure, not zeros
+    assert float(np.abs(batch["mouth_clip"]).max()) > 0
+
+
+def test_syncnet_task_consumes_mined_batches(tmp_path):
+    import jax
+
+    from real3dportrait_tpu.training.tasks.syncnet_task import SyncNetTask
+
+    binarize(make_synthetic_records(n_videos=2, t=40),
+             str(tmp_path / "train"))
+    cfg = FrozenConfig({"binary_data_dir": str(tmp_path),
+                        "syncnet_num_clip_pairs": 16, "batch_size": 4})
+    task = SyncNetTask(cfg)
+    batch = next(iter(task.train_data()))
+    assert "phase" not in batch  # stripped before the jitted step
+    state = task.build(jax.random.PRNGKey(0))
+    state, metrics = jax.jit(task.train_step)(state, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics["total_loss"]))
