@@ -47,6 +47,9 @@ def main():
     p.add_argument("--src_img", required=True)
     p.add_argument("--drv_aud", required=True, help="16kHz wav or .npy features")
     p.add_argument("--drv_pose", default="static", help="'static' or .npy (euler,trans)")
+    p.add_argument("--map_to_init_pose", default="True",
+                   help="offset the driving pose so frame 0 matches the source"
+                        " (`real3d_infer.py:598`)")
     p.add_argument("--bg_img", default="")
     p.add_argument("--out_name", default="output.mp4")
     p.add_argument("--out_mode", default="final", choices=["final", "concat_debug"])
@@ -77,6 +80,9 @@ def main():
     root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     cfg = load_config(os.path.join(root, "configs", "secc_img2plane_torso.yaml"),
                       overrides=args.hparams)
+    cfg = cfg.replace(
+        map_to_init_pose=args.map_to_init_pose in ("True", "true", "1", True)
+    )
 
     pipe = Real3DPortraitPipeline(
         cfg=cfg,

@@ -45,3 +45,24 @@ def motion_from_video_landmarks(assets, lm2d_seq: np.ndarray,
         euler = smooth_features_1d(euler)
         trans = smooth_features_1d(trans)
     return {"exp": exp, "euler": euler, "trans": trans, "id": fit.id}
+
+
+def map_pose_to_source(euler, trans, src_euler, src_trans,
+                       z_fix: bool = True, map_to_init: bool = True):
+    """Driving-pose normalization (`real3d_infer.py:300-309`).
+
+    * z-fix: the driving depth (trans z) is held at its first value so the
+      head does not swim toward/away from the camera;
+    * map-to-init: the whole sequence is offset so frame 0 coincides with
+      the source image's fitted pose.
+    """
+    import jax.numpy as jnp
+
+    euler = jnp.asarray(euler, jnp.float32)
+    trans = jnp.asarray(trans, jnp.float32)
+    if z_fix:
+        trans = trans.at[:, 2].set(trans[0, 2])
+    if map_to_init:
+        euler = euler + (jnp.asarray(src_euler).reshape(1, 3) - euler[:1])
+        trans = trans + (jnp.asarray(src_trans).reshape(1, 3) - trans[:1])
+    return euler, trans

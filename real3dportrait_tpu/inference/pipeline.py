@@ -320,6 +320,13 @@ class Real3DPortraitPipeline:
                 idx = mirror_index(jnp.arange(t), euler.shape[0])
                 euler, trans = euler[idx], trans[idx]
             euler, trans = euler[:t], trans[:t]
+            # z-fix + map-to-init-pose (`real3d_infer.py:300-309`)
+            from real3dportrait_tpu.inference.infer_utils import map_pose_to_source
+
+            euler, trans = map_pose_to_source(
+                euler, trans, src_coeffs["euler"], src_coeffs["trans"],
+                map_to_init=bool(self.cfg.get("map_to_init_pose", True)),
+            )
 
         # cameras (EG3D convention) + temporal smoothing
         _, conv_c2w, intr = convert_eg3d_convention(euler, trans)

@@ -152,3 +152,29 @@ def test_pipeline_frame_batched(pipe):
     # non-divisible frame count (12 % 5 != 0) also works
     fast5 = pipe.synthesize(src, exp_seq, coeffs, blink_mode="none", frame_batch=5)
     assert fast5.shape == (12, 64, 64, 3)
+
+
+def test_map_pose_to_source():
+    """z-fix + map-to-init-pose (`real3d_infer.py:300-309`)."""
+    import numpy as np
+
+    from real3dportrait_tpu.inference.infer_utils import map_pose_to_source
+
+    rng = np.random.RandomState(0)
+    euler = rng.randn(6, 3).astype(np.float32) * 0.2
+    trans = rng.randn(6, 3).astype(np.float32) * 0.1
+    src_e = np.asarray([0.1, -0.2, 0.05], np.float32)
+    src_t = np.asarray([0.02, 0.03, -0.4], np.float32)
+    e2, t2 = map_pose_to_source(euler, trans, src_e, src_t)
+    # frame 0 coincides with the source pose
+    np.testing.assert_allclose(np.asarray(e2[0]), src_e, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(t2[0]), src_t, atol=1e-6)
+    # relative motion is preserved
+    np.testing.assert_allclose(np.asarray(e2[3] - e2[0]),
+                               euler[3] - euler[0], atol=1e-6)
+    # depth is constant (z-fix applied before the offset)
+    assert np.allclose(np.asarray(t2[:, 2]), src_t[2], atol=1e-6)
+    # disabled mapping keeps the raw (z-fixed) sequence
+    e3, t3 = map_pose_to_source(euler, trans, src_e, src_t, map_to_init=False)
+    np.testing.assert_allclose(np.asarray(e3), euler, atol=1e-6)
+    assert np.allclose(np.asarray(t3[:, 2]), trans[0, 2], atol=1e-6)
