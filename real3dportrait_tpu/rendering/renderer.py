@@ -163,14 +163,24 @@ def _sample_pdf(
         # letting the coarse+fine merge skip the per-ray argsort
         u = jnp.sort(jax.random.uniform(key, (r, n_importance)), axis=-1)
 
-    inds = jax.vmap(lambda c, uu: jnp.searchsorted(c, uu, side="right"))(cdf, u)
+    # searchsorted(side='right') as a comparison count, and the index
+    # lookups as one-hot einsums: per-element gathers along the sample axis
+    # lower to scalar gathers on TPU, while broadcasted compares + small
+    # matmuls are VPU/MXU work (the same trick as _merge_sorted_samples).
+    inds = jnp.sum(
+        (cdf[:, None, :] <= u[:, :, None]).astype(jnp.int32), axis=-1
+    )  # [R, n]
     below = jnp.clip(inds - 1, 0, None)
     above = jnp.clip(inds, None, s)
 
-    cdf_b = jnp.take_along_axis(cdf, below, axis=1)
-    cdf_a = jnp.take_along_axis(cdf, above, axis=1)
-    bins_b = jnp.take_along_axis(bins, below, axis=1)
-    bins_a = jnp.take_along_axis(bins, above, axis=1)
+    def select(vals, idx):
+        oh = jax.nn.one_hot(idx, vals.shape[-1], dtype=jnp.float32)  # [R,n,S]
+        return jnp.einsum("rns,rs->rn", oh, vals.astype(jnp.float32))
+
+    cdf_b = select(cdf, below)
+    cdf_a = select(cdf, above)
+    bins_b = select(bins, jnp.clip(below, None, bins.shape[-1] - 1))
+    bins_a = select(bins, jnp.clip(above, None, bins.shape[-1] - 1))
 
     denom = cdf_a - cdf_b
     denom = jnp.where(denom < eps, 1.0, denom)
@@ -210,21 +220,26 @@ def _merge_sorted_samples(depths1, colors1, densities1, depths2, colors2, densit
     s = s1 + s2
     d1 = depths1.reshape(b * m, s1)
     d2 = depths2.reshape(b * m, s2)
-    pos1 = jnp.arange(s1)[None] + jax.vmap(
-        lambda a, v: jnp.searchsorted(a, v, side="left"))(d2, d1)
-    pos2 = jnp.arange(s2)[None] + jax.vmap(
-        lambda a, v: jnp.searchsorted(a, v, side="right"))(d1, d2)
+    # searchsorted as comparison counts (S is small, the [R,S,S] compare is
+    # cheap VPU work; vmap'd binary searches lower to serial scalar code)
+    pos1 = jnp.arange(s1)[None] + jnp.sum(
+        (d2[:, None, :] < d1[:, :, None]).astype(jnp.int32), axis=-1)
+    pos2 = jnp.arange(s2)[None] + jnp.sum(
+        (d1[:, None, :] <= d2[:, :, None]).astype(jnp.int32), axis=-1)
     pos = jnp.concatenate([pos1, pos2], axis=-1)  # [R, S]
-    inv = jnp.zeros((b * m, s), jnp.int32)
-    inv = jax.vmap(lambda iv, p: iv.at[p].set(jnp.arange(s, dtype=jnp.int32)))(inv, pos)
-    inv = inv.reshape(b, m, s, 1)
+    # Apply the permutation as a one-hot matmul instead of take_along_axis:
+    # a per-element gather along the sample axis lowers to ~50M scalar
+    # gathers on TPU (~900 ms in context), while selection by a [S,S]
+    # one-hot permutation matrix is MXU work (~10 GFLOP, sub-ms) and exact
+    # (each output row sums one 1.0*value and S-1 zeros). P[s, t] = 1 iff
+    # output slot s takes concatenated entry t, i.e. t's target pos == s.
+    perm = jax.nn.one_hot(pos, s, axis=-2, dtype=jnp.float32)  # [R, S, S]
+    perm = perm.reshape(b, m, s, s)
 
     def merge(x1, x2):
         cat = jnp.concatenate([x1, x2], axis=-2)
-        idx = jnp.broadcast_to(inv, cat.shape[:-1] + (1,))
-        return jnp.take_along_axis(
-            cat, jnp.repeat(idx, cat.shape[-1], axis=-1), axis=-2
-        )
+        out = jnp.einsum("bmst,bmtc->bmsc", perm, cat.astype(jnp.float32))
+        return out.astype(cat.dtype)
 
     return (
         merge(depths1, depths2),
