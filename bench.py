@@ -100,22 +100,33 @@ def child_main() -> None:
     _report(results, event="flagship_ready", seconds=round(time.time() - t0, 1))
     step = jax.jit(frame_step)
 
+    # CRITICAL timing discipline for the axon tunnel: block_until_ready is
+    # a NO-OP there (dispatch is fire-and-forget into a server-side queue),
+    # so the only way to synchronize is to FETCH a value. Fetch a 4-byte
+    # scalar through a jitted reducer — the queue is in-order, so the fetch
+    # completes only after every previously dispatched step finished. Large
+    # fetches are also ~40 MB/s on the tunnel, so never fetch the image.
+    reduce = jax.jit(lambda x: x.sum())
+
+    def sync(x):
+        return float(reduce(x))
+
     t0 = time.time()
     out = step(variables, cam, secc, cano, cond)
-    out.block_until_ready()
+    sync(out)
     _report(results, event="compiled", seconds=round(time.time() - t0, 1),
             out_shape=list(out.shape))
 
     for _ in range(n_warmup):
-        step(variables, cam, secc, cano, cond).block_until_ready()
+        sync(step(variables, cam, secc, cano, cond))
 
     # Measurement: several independent windows, partial fps reported after
-    # each, no device->host transfer inside the timed region.
+    # each, one scalar fetch per window.
     for w in range(n_windows):
         t0 = time.time()
         for _ in range(n_iters):
             out = step(variables, cam, secc, cano, cond)
-        out.block_until_ready()
+        sync(out)
         dt = (time.time() - t0) / n_iters
         _report(results, fps=1.0 / dt, kind="frame_step", window=w, tiny=tiny)
 
@@ -140,11 +151,14 @@ def _bench_e2e(results, step, variables, cam, cano, cond, tiny) -> float:
     tgt SECC raster (frame-batched, 256² z-buffer upsampled to the 512² cond
     map) + the cached-plane synthesis step.
     """
+    import jax
     import jax.numpy as jnp
     import numpy as np
 
     from real3dportrait_tpu.geometry import synthetic_bfm
     from real3dportrait_tpu.geometry.secc_renderer import SECCRenderer
+
+    reduce = jax.jit(lambda x: x.sum())
 
     fb = 2 if tiny else 8            # frames rasterized per batch
     raster_res = 64 if tiny else 256  # z-buffer resolution
@@ -164,7 +178,7 @@ def _bench_e2e(results, step, variables, cam, cano, cond, tiny) -> float:
     t0 = time.time()
     _, cano_secc = renderer.render(ident[:1], jnp.zeros((1, 64)), euler[:1], trans[:1])
     _, src_secc = renderer.render(ident, exps, euler, trans)
-    src_secc.block_until_ready()
+    float(reduce(src_secc))  # fetch-sync (block_until_ready is a no-op here)
     _report(results, event="e2e_raster_compiled", seconds=round(time.time() - t0, 1))
     src1 = src_secc[:1]
 
@@ -173,7 +187,7 @@ def _bench_e2e(results, step, variables, cam, cano, cond, tiny) -> float:
 
     # warmup both phases once
     _, tgt = renderer.render(ident, exps, euler, trans)
-    step(variables, cam, per_frame_cond(tgt[:1]), cano, cond).block_until_ready()
+    float(reduce(step(variables, cam, per_frame_cond(tgt[:1]), cano, cond)))
 
     n_iters = 2 if tiny else 6
     t0 = time.time()
@@ -181,7 +195,7 @@ def _bench_e2e(results, step, variables, cam, cano, cond, tiny) -> float:
         _, tgt = renderer.render(ident, exps, euler, trans)
         for f in range(fb):
             out = step(variables, cam, per_frame_cond(tgt[f:f + 1]), cano, cond)
-    out.block_until_ready()
+    float(reduce(out))  # in-order queue: syncs every raster + step above
     dt = (time.time() - t0) / (n_iters * fb)
     return 1.0 / dt
 
