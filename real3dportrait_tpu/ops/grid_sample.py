@@ -106,3 +106,77 @@ def grid_sample_3d(
             for xi, wx in ((x0, wx0), (x0 + 1, wx1)):
                 out = out + corner(xi, yi, zi, wx * wy * wz)
     return out
+
+
+def grid_sample_3d_packed(
+    features: jnp.ndarray,
+    coords: jnp.ndarray,
+    align_corners: bool = False,
+    padding_mode: str = "zeros",
+) -> jnp.ndarray:
+    """Trilinear sample via xy-corner packing — TPU-fast path.
+
+    Equivalent to :func:`grid_sample_3d` (same torch semantics; tested
+    against it), but gathers rows of ``4*C`` features holding all four xy
+    corners of a cell instead of 8 rows of ``C``: with C=32 a packed row is
+    exactly 128 lanes, so every gather moves a full TPU vector register
+    (the narrow-row gather wastes 3/4 of each access). 8 gathers -> 2
+    (one per z corner), ~4x less gather traffic for 4x plane memory
+    (built per call; planes are regenerated per frame anyway).
+    """
+    b, d, h, w, c = features.shape
+    if h < 2 or w < 2:  # packing needs a 2x2 xy cell
+        return grid_sample_3d(features, coords, align_corners, padding_mode)
+    x = _unnormalize(coords[..., 0], w, align_corners)
+    y = _unnormalize(coords[..., 1], h, align_corners)
+    z = _unnormalize(coords[..., 2], d, align_corners)
+
+    x0, y0, z0 = jnp.floor(x), jnp.floor(y), jnp.floor(z)
+    wx1, wy1, wz1 = x - x0, y - y0, z - z0
+    wx0, wy0, wz0 = 1 - wx1, 1 - wy1, 1 - wz1
+
+    # packed[d, h, w] = [f(h,w), f(h,w+1), f(h+1,w), f(h+1,w+1)]
+    fp = jnp.pad(features, ((0, 0), (0, 0), (0, 1), (0, 1), (0, 0)),
+                 mode="edge")
+    packed = jnp.concatenate([
+        fp[:, :, :h, :w], fp[:, :, :h, 1:w + 1],
+        fp[:, :, 1:h + 1, :w], fp[:, :, 1:h + 1, 1:w + 1],
+    ], axis=-1).reshape(b, d * h * w, 4 * c)
+
+    def slot_weights(c0, w0_, w1_, size):
+        """Base row index + per-slot weights for one axis.
+
+        The gathered row holds values at (base, base+1) with base =
+        clip(c0, 0, size-2); when c0 clamps (delta = c0-base = +-1) the
+        sample's corner weights land on shifted slots — remap them so the
+        packed path matches :func:`grid_sample_3d` exactly, including
+        zeros-mode border masking.
+        """
+        base = jnp.clip(c0, 0, size - 2)
+        delta = c0 - base  # in {-1, 0, +1...}
+        if padding_mode == "zeros":
+            in0 = (c0 >= 0) & (c0 <= size - 1)
+            in1 = (c0 + 1 >= 0) & (c0 + 1 <= size - 1)
+            w0_, w1_ = w0_ * in0, w1_ * in1
+        s0 = jnp.where(delta == 0, w0_, jnp.where(delta == -1, w1_, 0.0))
+        s1 = jnp.where(delta == 0, w1_, jnp.where(delta == 1, w0_, 0.0))
+        return base.astype(jnp.int32), s0, s1
+
+    xi, sx0, sx1 = slot_weights(x0, wx0, wx1, w)
+    yi, sy0, sy1 = slot_weights(y0, wy0, wy1, h)
+    # per-slot weights [B,M,4] in packed order (y0x0, y0x1, y1x0, y1x1)
+    wxy = jnp.stack([sy0 * sx0, sy0 * sx1, sy1 * sx0, sy1 * sx1], axis=-1)
+
+    m = coords.shape[1]
+
+    def z_corner(zc, wz):
+        zi = jnp.clip(zc, 0, d - 1).astype(jnp.int32)
+        idx = (zi * h + yi) * w + xi
+        rows = jnp.take_along_axis(packed, idx[..., None], axis=1)
+        vals = rows.reshape(b, m, 4, c)
+        wgt = wxy * wz[..., None]
+        if padding_mode == "zeros":
+            wgt = wgt * ((zc >= 0) & (zc <= d - 1))[..., None]
+        return jnp.sum(vals * wgt[..., None].astype(vals.dtype), axis=2)
+
+    return z_corner(z0, wz0) + z_corner(z0 + 1, wz1)

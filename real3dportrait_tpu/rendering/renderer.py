@@ -24,7 +24,10 @@ from typing import Any, Callable, NamedTuple
 import jax
 import jax.numpy as jnp
 
-from real3dportrait_tpu.ops.grid_sample import grid_sample_2d, grid_sample_3d
+from real3dportrait_tpu.ops.grid_sample import (
+    grid_sample_2d,
+    grid_sample_3d_packed,
+)
 from real3dportrait_tpu.rendering import math_utils
 from real3dportrait_tpu.rendering.ray_marcher import march_rays
 
@@ -83,7 +86,9 @@ def sample_from_trigrids(
     outs = []
     for k, perm in enumerate(_PLANE_PERMS):
         xyz = coords[..., jnp.array(perm)]
-        outs.append(grid_sample_3d(planes[:, k], xyz))
+        # packed variant: full-lane gather rows (4*C) instead of 8 narrow
+        # C-row gathers — ~4x less gather traffic on TPU
+        outs.append(grid_sample_3d_packed(planes[:, k], xyz))
     return jnp.stack(outs, axis=1)
 
 

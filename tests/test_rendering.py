@@ -205,3 +205,25 @@ def test_sample_from_planes_projection_convention():
     f2 = sample_from_planes(planes, c2, box_warp=1.0)
     np.testing.assert_allclose(np.asarray(f1[:, 0]), np.asarray(f2[:, 0]), atol=1e-6)
     assert float(jnp.abs(f1[:, 0]).sum()) > 0
+
+
+def test_grid_sample_3d_packed_equivalence():
+    """Packed xy-corner trilinear path == reference path, incl. borders."""
+    import jax
+    import jax.numpy as jnp
+
+    from real3dportrait_tpu.ops.grid_sample import (
+        grid_sample_3d, grid_sample_3d_packed,
+    )
+
+    k = jax.random.PRNGKey(7)
+    feats = jax.random.normal(k, (2, 3, 9, 11, 5))
+    # interior + boundary + out-of-range coords
+    coords = jax.random.uniform(jax.random.PRNGKey(8), (2, 400, 3),
+                                minval=-1.3, maxval=1.3)
+    edge = jnp.array([[[-1.0, -1.0, -1.0], [1.0, 1.0, 1.0],
+                       [-1.0, 1.0, 0.0], [0.999, -0.999, 0.5]]])
+    coords = jnp.concatenate([coords, jnp.tile(edge, (2, 1, 1))], axis=1)
+    want = grid_sample_3d(feats, coords)
+    got = grid_sample_3d_packed(feats, coords)
+    assert jnp.max(jnp.abs(want - got)) < 1e-5
