@@ -26,7 +26,10 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from real3dportrait_tpu.ops.grid_sample import grid_sample_2d, grid_sample_3d
+from real3dportrait_tpu.ops.grid_sample import (
+    grid_sample_2d,
+    grid_sample_3d_packed,
+)
 
 
 def _gn(c: int) -> int:
@@ -207,7 +210,7 @@ def create_deformed_source_image(fs: jnp.ndarray, sparse_motions: jnp.ndarray):
     k1 = sparse_motions.shape[1]
     fs_rep = jnp.repeat(fs[:, None], k1, axis=1).reshape(b * k1, d, h, w, c)
     coords = sparse_motions.reshape(b * k1, -1, 3)
-    warped = grid_sample_3d(fs_rep, coords, align_corners=True, padding_mode="zeros")
+    warped = grid_sample_3d_packed(fs_rep, coords, align_corners=True, padding_mode="zeros")
     return warped.reshape(b, k1, d, h, w, c)
 
 
@@ -354,7 +357,7 @@ class WarpGenerator(nn.Module):
         nm = self.norm_mode
         b, d, h, w, c = fs.shape
         coords = deformation.reshape(b, -1, 3)
-        warped = grid_sample_3d(fs, coords, align_corners=True,
+        warped = grid_sample_3d_packed(fs, coords, align_corners=True,
                                 padding_mode="border").reshape(b, d, h, w, c)
         # collapse depth into channels: [B,H,W,C*D] (reference view(N,-1,H,W)
         # from NCDHW flattens C-major, D-minor)

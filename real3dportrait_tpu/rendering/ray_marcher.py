@@ -33,7 +33,15 @@ def march_rays(
     alpha_shifted = jnp.concatenate(
         [jnp.ones_like(alpha[:, :, :1]), 1.0 - alpha + 1e-10], axis=-2
     )
-    transmittance = jnp.cumprod(alpha_shifted, axis=-2)[:, :, :-1]
+    # cumprod along the short sample axis as an MXU matmul in log space: a
+    # length-S scan over a [..,S,1] layout uses 1 of 128 lanes (~30 ms per
+    # call), while log -> (x @ triu-ones) -> exp is one tiny matmul per ray
+    la = jnp.log(alpha_shifted[..., 0])  # [B,M,S]; all entries > 0
+    s = la.shape[-1]
+    tri = jnp.triu(jnp.ones((s, s), la.dtype))  # tri[s,t]=1 for s<=t
+    transmittance = jnp.exp(
+        jnp.einsum("bms,st->bmt", la, tri, precision="highest")
+    )[..., None][:, :, :-1]
     weights = alpha * transmittance
 
     composite_rgb = jnp.sum(weights * colors_mid, axis=-2)
