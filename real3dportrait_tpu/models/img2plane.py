@@ -38,12 +38,52 @@ from real3dportrait_tpu.rendering.renderer import (
 )
 
 
+class SameBlock3d(nn.Module):
+    """3D-conv residual block with replicate padding and a learned residual
+    scale (`img2plane_baseline.py:30`, alpha init 0.01)."""
+
+    feats: int
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:  # [N,D,H,W,C]
+        def conv(h, name):
+            h = jnp.pad(h, ((0, 0), (1, 1), (1, 1), (1, 1), (0, 0)),
+                        mode="edge")
+            return nn.Conv(self.feats, (3, 3, 3), padding="VALID",
+                           name=name)(h)
+
+        h = nn.relu(nn.GroupNorm(num_groups=4, name="norm1")(x))
+        h = conv(h, "conv1")
+        h = nn.relu(nn.GroupNorm(num_groups=4, name="norm2")(h))
+        h = conv(h, "conv2")
+        alpha = self.param("alpha", lambda k: jnp.full((1,), 0.01))
+        return x + alpha * h
+
+
+class Plane2GridModule(nn.Module):
+    """3D-conv refinement of trigrid planes for ``triplane_feature_type=
+    trigrid_v2`` (`img2plane_baseline.py:58`): shared by the cano and SECC
+    plane paths (`img2plane_baseline.py:131-134`, `secc_img2plane.py:55-58`).
+    """
+
+    triplane_depth: int = 3
+    channels: int = 32
+
+    @nn.compact
+    def __call__(self, planes: jnp.ndarray) -> jnp.ndarray:  # [B,3,D,H,W,C]
+        b, k, d, h, w, c = planes.shape
+        x = planes.reshape(b * k, d, h, w, c)
+        for i in range(1 if self.triplane_depth <= 3 else 2):
+            x = SameBlock3d(c, name=f"block{i}")(x)
+        return x.reshape(b, k, d, h, w, c)
+
+
 class OSAvatarImg2Plane(nn.Module):
     """One-shot image -> canonical plane -> rendered image."""
 
     triplane_hid_dim: int = 32
     triplane_depth: int = 3
-    triplane_feature_type: str = "trigrid"  # triplane | trigrid
+    triplane_feature_type: str = "trigrid"  # triplane | trigrid | trigrid_v2
     neural_rendering_resolution: int = 128
     final_resolution: int = 512
     backbone_mode: str = "segformer"        # segformer | composite
@@ -97,6 +137,11 @@ class OSAvatarImg2Plane(nn.Module):
                 head_norm_mode=self.head_norm_mode,
             )
         self.decoder = OSGDecoder(hidden_dim=64, output_dim=self.triplane_hid_dim)
+        if self.triplane_feature_type == "trigrid_v2":
+            self.plane2grid_module = Plane2GridModule(
+                triplane_depth=self.triplane_depth,
+                channels=self.triplane_hid_dim,
+            )
         self.superresolution = self._make_superresolution()
 
     def _make_superresolution(self):
@@ -124,7 +169,10 @@ class OSAvatarImg2Plane(nn.Module):
         b, k, h, w, cd = planes.shape
         c, d = self.triplane_hid_dim, self.triplane_depth
         planes = planes.reshape(b, k, h, w, c, d)
-        return jnp.moveaxis(planes, -1, 2)  # [B,3,D,H,W,C]
+        planes = jnp.moveaxis(planes, -1, 2)  # [B,3,D,H,W,C]
+        if self.triplane_feature_type == "trigrid_v2":
+            planes = self.plane2grid_module(planes)
+        return planes
 
     def cal_cano_plane(self, img: jnp.ndarray) -> jnp.ndarray:
         """Source image [B,H,W,3] -> canonical plane in render layout."""

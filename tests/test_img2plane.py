@@ -144,3 +144,33 @@ def test_osavatar_jit_and_grad(rng):
     assert all(bool(jnp.isfinite(x).all()) for x in leaves)
     total = sum(float(jnp.abs(x).sum()) for x in leaves)
     assert total > 0
+
+
+def test_trigrid_v2_plane2grid():
+    """trigrid_v2: shared 3D-conv plane refinement on both plane paths
+    (`img2plane_baseline.py:58,131-134`, `secc_img2plane.py:55-58`)."""
+    import jax
+    import jax.numpy as jnp
+
+    from real3dportrait_tpu.models.img2plane import OSAvatarSECCImg2Plane
+
+    m = OSAvatarSECCImg2Plane(
+        triplane_hid_dim=8, triplane_depth=2, triplane_feature_type="trigrid_v2",
+        neural_rendering_resolution=8, final_resolution=32,
+        sr_channel0=16, sr_channel1=8, sr_num_fp16_res=0,
+        num_samples_coarse=4, num_samples_fine=4,
+    )
+    img = jnp.zeros((1, 32, 32, 3))
+    cam = jnp.eye(4).reshape(1, 16)
+    cam = jnp.concatenate([cam, jnp.eye(3).reshape(1, 9)], -1)
+    secc = jnp.zeros((1, 32, 32, 9))
+    variables = jax.jit(m.init)(
+        {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1)},
+        img, cam, secc=secc,
+    )
+    # one shared refinement module exists in the tree
+    assert "plane2grid_module" in variables["params"]
+    blocks = variables["params"]["plane2grid_module"]
+    assert "block0" in blocks and "block1" not in blocks  # depth<=3 -> 1 block
+    out = jax.jit(m.apply)(variables, img, cam, secc=secc)
+    assert out["image"].shape == (1, 32, 32, 3)
