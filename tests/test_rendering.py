@@ -227,3 +227,28 @@ def test_grid_sample_3d_packed_equivalence():
     want = grid_sample_3d(feats, coords)
     got = grid_sample_3d_packed(feats, coords)
     assert jnp.max(jnp.abs(want - got)) < 1e-5
+
+
+def test_grid_sample_3d_packed8_equivalence():
+    """8-corner-packed trilinear path == reference path, incl. borders."""
+    import jax
+    import jax.numpy as jnp
+
+    from real3dportrait_tpu.ops.grid_sample import (
+        grid_sample_3d, grid_sample_3d_packed8,
+    )
+
+    k = jax.random.PRNGKey(3)
+    feats = jax.random.normal(k, (2, 4, 9, 11, 5))
+    coords = jax.random.uniform(jax.random.PRNGKey(4), (2, 400, 3),
+                                minval=-1.3, maxval=1.3)
+    edge = jnp.array([[[-1.0, -1.0, -1.0], [1.0, 1.0, 1.0],
+                       [-1.0, 1.0, 0.0], [0.999, -0.999, 0.5]]])
+    coords = jnp.concatenate([coords, jnp.tile(edge, (2, 1, 1))], axis=1)
+    want = grid_sample_3d(feats, coords)
+    got = grid_sample_3d_packed8(feats, coords)
+    assert jnp.max(jnp.abs(want - got)) < 1e-5
+    # D=1 volumes fall back to the reference path
+    f1 = feats[:, :1]
+    assert jnp.max(jnp.abs(grid_sample_3d_packed8(f1, coords)
+                           - grid_sample_3d(f1, coords))) < 1e-6
