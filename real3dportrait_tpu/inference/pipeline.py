@@ -217,6 +217,15 @@ class Real3DPortraitPipeline:
                                   cano_planes=cano)
                 return out["image"], out["image_raw"], out["image_depth"]
 
+            @jax.jit
+            def cal_torso_appearance(variables, cond):
+                return model.apply(
+                    variables, cond,
+                    method=lambda m, c: m.cal_torso_appearance(c),
+                )
+
+            self._cal_torso_appearance = cal_torso_appearance
+
         else:
 
             @jax.jit
@@ -418,6 +427,15 @@ class Real3DPortraitPipeline:
             while start + n_blink < t:
                 blink_percent[start : start + n_blink] = profile
                 start += period
+
+        if self.use_torso:
+            # per-video torso appearance cache: the appearance extractor
+            # (the 3D-conv half of the SR head) depends only on the source
+            # torso image + segmap — compute once, reuse every frame (same
+            # dataflow as the cano-plane cache)
+            cond["torso_appearance"] = self._cal_torso_appearance(
+                self.model_variables, cond
+            )
 
         assert frame_batch == 1 or n_ident == 1, (
             "frame batching and multi-identity batching are mutually exclusive"

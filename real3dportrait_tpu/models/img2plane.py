@@ -360,6 +360,25 @@ class OSAvatarSECCImg2PlaneTorso(OSAvatarSECCImg2Plane):
             else self.head_norm_mode,
         )
 
+    def cal_torso_appearance(self, cond: dict) -> jnp.ndarray:
+        """Per-video cacheable torso appearance volume (inputs: source torso
+        image + segmap only) — compute once, pass back per frame as
+        ``cond['torso_appearance']``, mirroring the cano-plane cache."""
+        b = cond["ref_torso_img"].shape[0]
+        r = self.neural_rendering_resolution
+        dummy = jnp.zeros((b, r, r, 3))
+        volume, _ = self.superresolution(
+            dummy, dummy, jnp.zeros((b, 1, self.w_dim)),
+            ref_torso_rgb=cond["ref_torso_img"],
+            ref_bg_rgb=cond["bg_img"],
+            weights_img=jnp.zeros((b, r, r, 1)),
+            segmap=cond["segmap"],
+            kp_s=cond["kp_src"],
+            kp_d=cond["kp_drv"],
+            appearance_only=True,
+        )
+        return volume
+
     def _forward_sr(self, rgb_image, feature_image, ws, weights_image, cond,
                     noise_mode):
         sr_image, torso_ret = self.superresolution(
@@ -371,6 +390,7 @@ class OSAvatarSECCImg2PlaneTorso(OSAvatarSECCImg2Plane):
             kp_s=cond["kp_src"],
             kp_d=cond["kp_drv"],
             target_torso_mask=cond.get("target_torso_mask"),
+            appearance_volume=cond.get("torso_appearance"),
             noise_mode=noise_mode,
         )
         extra = {

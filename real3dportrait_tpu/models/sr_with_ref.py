@@ -53,10 +53,21 @@ class SuperresolutionHybrid8XDCWarp(nn.Module):
         kp_d: jnp.ndarray,            # [B,68,3]
         target_torso_mask: jnp.ndarray | None = None,
         noise_mode: str = "none",
+        appearance_volume: jnp.ndarray | None = None,  # per-video cache
+        appearance_only: bool = False,
     ) -> tuple[jnp.ndarray, dict]:
         use_fp16 = self.sr_num_fp16_res > 0
         mid = self.mid_resolution
         aa = self.sr_antialias
+        if appearance_only:
+            # per-video torso appearance cache (source-only inputs)
+            torso_mid = resize_bilinear(ref_torso_rgb, mid, antialias=aa)
+            ret = WarpBasedTorsoModel(
+                torso_kp_num=self.torso_kp_num, scale=self.torso_scale,
+                version=self.torso_version, norm_mode=self.torso_norm_mode,
+                inp_mode=self.torso_inp_mode, name="torso_model",
+            )(torso_mid, segmap, kp_s, kp_d, appearance_only=True)
+            return ret["appearance_volume"], ret
         weights_img = jax.lax.stop_gradient(weights_img)
         ws = jnp.broadcast_to(ws[:, -1:, :], (rgb.shape[0], 3, ws.shape[-1]))
 
@@ -91,7 +102,8 @@ class SuperresolutionHybrid8XDCWarp(nn.Module):
             version=self.torso_version, norm_mode=self.torso_norm_mode,
             inp_mode=self.torso_inp_mode, name="torso_model",
         )(torso_mid, segmap, kp_s, kp_d,
-          target_torso_mask=target_torso_mask, **torso_kwargs)
+          target_torso_mask=target_torso_mask,
+          appearance_volume=appearance_volume, **torso_kwargs)
         rgb_torso = torso_ret["deformed_torso_img"]
         x_torso = nn.Conv(self.block0_channels, (1, 1), name="torso_encoder")(
             torso_ret["deformed_torso_hid"]

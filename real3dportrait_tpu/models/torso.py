@@ -449,21 +449,31 @@ class WarpBasedTorsoModel(nn.Module):
         tgt_head_img: jnp.ndarray | None = None,      # [B,h,w,3] v2 cond
         tgt_head_weights: jnp.ndarray | None = None,  # [B,h,w,1] v2 cond
         target_torso_mask: jnp.ndarray | None = None,  # [B,H,W] bool
+        appearance_volume: jnp.ndarray | None = None,  # cached [B,D,H,W,C]
+        appearance_only: bool = False,
     ) -> dict:
+        """``appearance_volume``/``appearance_only`` implement the per-video
+        appearance cache: the extractor depends only on the SOURCE torso
+        image + segmap, so inference computes it once (appearance_only=True)
+        and feeds the masked volume back per frame — the same dataflow shape
+        as the canonical-plane cache."""
         arch = TORSO_PRESETS[self.scale]
-        if self.inp_mode == "rgb_alpha":
-            # append the neck/torso segmap channels at source resolution
-            bs, hs, ws = torso_src_img.shape[:3]
-            seg_src = jax.image.resize(
-                segmap[..., (2, 4)], (bs, hs, ws, 2), "bilinear",
-                antialias=False,
-            )
-            torso_src_img = jnp.concatenate([torso_src_img, seg_src], axis=-1)
-        feats = AppearanceFeatureExtractor(
-            arch["feat_channels"], arch["depth"],
-            down_seq=arch["app_down_seq"], n_res=arch["app_n_res"],
-            norm_mode=self.norm_mode, name="appearance_extractor",
-        )(torso_src_img)
+        if appearance_volume is not None:
+            feats = appearance_volume
+        else:
+            if self.inp_mode == "rgb_alpha":
+                # append the neck/torso segmap channels at source resolution
+                bs, hs, ws = torso_src_img.shape[:3]
+                seg_src = jax.image.resize(
+                    segmap[..., (2, 4)], (bs, hs, ws, 2), "bilinear",
+                    antialias=False,
+                )
+                torso_src_img = jnp.concatenate([torso_src_img, seg_src], axis=-1)
+            feats = AppearanceFeatureExtractor(
+                arch["feat_channels"], arch["depth"],
+                down_seq=arch["app_down_seq"], n_res=arch["app_n_res"],
+                norm_mode=self.norm_mode, name="appearance_extractor",
+            )(torso_src_img)
         b, d, h, w, c = feats.shape
 
         # torso mask from segmap channels 2 (neck) and 4 (torso);
@@ -471,8 +481,11 @@ class WarpBasedTorsoModel(nn.Module):
         torso_seg = jax.image.resize(
             segmap[..., (2, 4)], (b, h, w, 2), "bilinear", antialias=False
         )
-        torso_mask = dilate_mask(jnp.sum(torso_seg, axis=-1, keepdims=True))
-        feats = feats * torso_mask[:, None, :, :, :]
+        if appearance_volume is None:
+            torso_mask = dilate_mask(jnp.sum(torso_seg, axis=-1, keepdims=True))
+            feats = feats * torso_mask[:, None, :, :, :]
+        if appearance_only:
+            return {"appearance_volume": feats}
 
         seg_vol = jnp.repeat(torso_seg[:, None], d, axis=1)  # [B,D,H,W,2]
         motion_inp = jnp.concatenate([feats, seg_vol], axis=-1)

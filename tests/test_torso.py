@@ -157,3 +157,38 @@ def test_torso_avatar_end_to_end():
     cano = model.apply(variables, img, method=lambda m, i: m.cal_cano_plane(i))
     out2 = model.apply(variables, img, cam, cond, secc=secc, cano_planes=cano)
     np.testing.assert_allclose(np.asarray(out2["image"]), np.asarray(out["image"]), atol=1e-5)
+
+
+def test_torso_appearance_cache_equivalence():
+    """Cached per-video appearance volume reproduces the uncached forward
+    exactly (same masked extractor output fed back per frame)."""
+    import jax
+    import jax.numpy as jnp
+
+    from real3dportrait_tpu.models.img2plane import OSAvatarSECCImg2PlaneTorso
+
+    m = OSAvatarSECCImg2PlaneTorso(
+        triplane_hid_dim=8, triplane_depth=2, neural_rendering_resolution=8,
+        final_resolution=32, sr_channel0=16, sr_channel1=8, sr_num_fp16_res=0,
+        num_samples_coarse=4, num_samples_fine=4, torso_scale="tiny",
+    )
+    k = jax.random.PRNGKey(0)
+    img = jax.random.uniform(k, (1, 32, 32, 3), minval=-1, maxval=1)
+    cam = jnp.concatenate([jnp.eye(4).reshape(1, 16),
+                           jnp.eye(3).reshape(1, 9)], -1)
+    secc = jax.random.uniform(jax.random.PRNGKey(1), (1, 32, 32, 9))
+    seg = jnp.zeros((1, 32, 32, 6)).at[..., 4].set(1.0)
+    cond = {
+        "ref_torso_img": img, "bg_img": img, "segmap": seg,
+        "kp_src": jnp.zeros((1, 68, 3)), "kp_drv": jnp.zeros((1, 68, 3)),
+    }
+    variables = jax.jit(m.init)(
+        {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1)},
+        img, cam, cond, secc=secc,
+    )
+    want = m.apply(variables, img, cam, cond, secc=secc)["image"]
+    vol = m.apply(variables, cond,
+                  method=lambda mm, c: mm.cal_torso_appearance(c))
+    got = m.apply(variables, img, cam, dict(cond, torso_appearance=vol),
+                  secc=secc)["image"]
+    assert jnp.max(jnp.abs(want - got)) < 1e-5
