@@ -69,6 +69,54 @@ class Trainer:
         self.best_val = np.inf if self.monitor_mode == "min" else -np.inf
         # persist the resolved config next to checkpoints (`hparams.py` flow)
         cfg.save(os.path.join(self.work_dir, "config.yaml"))
+        if bool(cfg.get("tee_terminal_logs", True)):
+            self._tee_stdout()
+        if bool(cfg.get("save_codes", True)):
+            self._snapshot_codes()
+
+    def _tee_stdout(self):
+        """Mirror stdout/stderr to ``work_dir/terminal_logs/log_<ts>.txt``
+        (`utils/commons/trainer.py:44-59`)."""
+        import sys
+
+        log_dir = os.path.join(self.work_dir, "terminal_logs")
+        os.makedirs(log_dir, exist_ok=True)
+        path = os.path.join(log_dir, f"log_{time.strftime('%Y%m%d_%H%M%S')}.txt")
+        f = open(path, "a", buffering=1)  # line-buffered: crash logs survive
+
+        class _Tee:
+            def __init__(self, stream):
+                self._s = stream
+
+            def write(self, data):
+                self._s.write(data)
+                f.write(data)
+
+            def flush(self):
+                self._s.flush()
+                f.flush()
+
+            def __getattr__(self, name):
+                return getattr(self._s, name)
+
+        sys.stdout = _Tee(sys.stdout)
+        sys.stderr = _Tee(sys.stderr)
+
+    def _snapshot_codes(self):
+        """Copy the package source to ``work_dir/codes/<ts>`` for run
+        provenance (`utils/commons/trainer.py:658-674`)."""
+        import shutil
+
+        import real3dportrait_tpu
+
+        src = os.path.dirname(os.path.abspath(real3dportrait_tpu.__file__))
+        dst = os.path.join(self.work_dir, "codes",
+                           time.strftime("%Y%m%d_%H%M%S"))
+        if not os.path.exists(dst):
+            shutil.copytree(
+                src, os.path.join(dst, "real3dportrait_tpu"),
+                ignore=shutil.ignore_patterns("__pycache__", "*.pyc", "*.so"),
+            )
 
     # -- state ----------------------------------------------------------------
 

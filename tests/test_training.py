@@ -395,3 +395,32 @@ def test_grad_accumulation_syncnet():
     state, _ = step(state, batch, jax.random.PRNGKey(2))
     # micro-step 2: the accumulated update applies
     assert not np.allclose(jax.tree_util.tree_leaves(state.params)[0], p0)
+
+
+def test_trainer_tee_and_code_snapshot(tmp_path):
+    """Run provenance: terminal log tee + source snapshot
+    (`utils/commons/trainer.py:44-59,658-674`)."""
+    import glob
+    import sys
+
+    from real3dportrait_tpu.training.tasks.syncnet_task import SyncNetTask
+    from real3dportrait_tpu.training.trainer import Trainer
+
+    cfg = FrozenConfig({
+        "batch_size": 2, "syncnet_base_hid_size": 8, "syncnet_out_hid_size": 16,
+        "lr": 1e-3, "max_updates": 1, "val_check_interval": 5,
+        "num_sanity_val_steps": 0, "eval_max_batches": 1, "tb_log_interval": 1,
+        "mesh_shape": {"data": -1}, "seed": 0,
+    })
+    out, err = sys.stdout, sys.stderr
+    try:
+        trainer = Trainer(cfg, SyncNetTask(cfg), work_dir=str(tmp_path))
+        trainer.fit()
+        print("tee-me")
+    finally:
+        sys.stdout, sys.stderr = out, err
+    logs = glob.glob(os.path.join(tmp_path, "terminal_logs", "log_*.txt"))
+    assert logs and "tee-me" in open(logs[0]).read()
+    snaps = glob.glob(os.path.join(
+        tmp_path, "codes", "*", "real3dportrait_tpu", "training", "trainer.py"))
+    assert snaps
