@@ -722,3 +722,61 @@ def test_superresolution_8xdc_parity(ref):
                    jnp.asarray(x.transpose(0, 2, 3, 1)), jnp.asarray(ws),
                    noise_mode="const")
     _agree(got, want, tol=3e-4)
+
+
+def test_vgg19_converter_parity(tmp_path):
+    """Random-weight torch VGG19-features oracle -> convert -> our jax
+    feature taps agree (torchvision absent: rebuild the exact topology)."""
+    import jax.numpy as jnp
+    import torch.nn as tnn
+
+    from real3dportrait_tpu.models.perceptual import (
+        LAYER_WEIGHTS, load_vgg19_params, vgg19_features, vgg19_perceptual,
+    )
+    from tools.convert_torch_ckpt import convert_vgg19, save_vgg19
+
+    # torchvision vgg19().features topology up to relu5_1
+    cfg = [64, 64, "M", 128, 128, "M", 256, 256, 256, 256, "M",
+           512, 512, 512, 512, "M", 512]
+    layers, in_ch = [], 3
+    for v in cfg:
+        if v == "M":
+            layers.append(tnn.MaxPool2d(2, 2))
+        else:
+            layers += [tnn.Conv2d(in_ch, v, 3, padding=1), tnn.ReLU()]
+            in_ch = v
+    torch.manual_seed(11)
+    features = tnn.Sequential(*layers)
+    for p_ in features.parameters():
+        p_.data.normal_(0, 0.05)
+
+    tree = convert_vgg19(features.state_dict())
+    path = str(tmp_path / "vgg19.msgpack")
+    save_vgg19(tree, path)
+    loaded = load_vgg19_params(path)
+
+    rng = np.random.RandomState(0)
+    # in [-1,1] like the loss inputs; compare the LAST tap (deepest path)
+    img = rng.uniform(-1, 1, (1, 64, 64, 3)).astype(np.float32)
+    taps = vgg19_features(loaded, jnp.asarray(img))
+    assert len(taps) == len(LAYER_WEIGHTS)
+
+    # torch oracle: same normalization then forward, grabbing relu taps
+    mean = torch.tensor([0.485, 0.456, 0.406]).view(1, 3, 1, 1)
+    std = torch.tensor([0.229, 0.224, 0.225]).view(1, 3, 1, 1)
+    x = (torch.from_numpy(img).permute(0, 3, 1, 2) + 1) * 0.5
+    x = (x - mean) / std
+    tap_idx = {1, 6, 11, 20, 29}  # after relu1_1, relu2_1, ...
+    got_taps = []
+    with torch.no_grad():
+        for i, layer in enumerate(features):
+            x = layer(x)
+            if i in tap_idx:
+                got_taps.append(x.permute(0, 2, 3, 1).numpy())
+    for ours, theirs in zip(taps, got_taps):
+        np.testing.assert_allclose(np.asarray(ours), theirs,
+                                   rtol=5e-3, atol=1e-3)
+
+    # the loss itself runs off the loaded tree
+    val = float(vgg19_perceptual(loaded, jnp.asarray(img), jnp.asarray(img) * 0.9))
+    assert np.isfinite(val) and val > 0

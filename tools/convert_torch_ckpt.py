@@ -730,3 +730,33 @@ def convert_sr_with_ref(sd: Mapping) -> dict:
 
 if __name__ == "__main__":
     main()
+
+
+def convert_vgg19(sd: Mapping) -> dict:
+    """torchvision ``vgg19().features`` state_dict -> the VGG19 perceptual
+    weight tree of :mod:`real3dportrait_tpu.models.perceptual` (keys
+    ``'<i>.weight'`` OIHW -> ``conv<i>/kernel`` HWIO). Reference criterion:
+    `tasks/os_avatar/loss_utils/vgg19_loss.py:9`."""
+    from real3dportrait_tpu.models.perceptual import VGG19_CONVS
+
+    sd = {k.removeprefix("features."): v for k, v in sd.items()}
+    tree = {}
+    for idx, out_ch, _ in VGG19_CONVS:
+        w = _to_np(sd[f"{idx}.weight"])
+        assert w.shape[0] == out_ch, (idx, w.shape)
+        tree[f"conv{idx}"] = {
+            "kernel": np.transpose(w, (2, 3, 1, 0)),  # OIHW -> HWIO
+            "bias": _to_np(sd[f"{idx}.bias"]),
+        }
+    return tree
+
+
+def save_vgg19(tree: dict, path: str) -> None:
+    """Persist a :func:`convert_vgg19` tree as msgpack for
+    ``cfg['vgg19_ckpt']`` (`perceptual.load_vgg19_params`)."""
+    import jax
+    from flax import serialization
+
+    with open(path, "wb") as f:
+        f.write(serialization.msgpack_serialize(
+            jax.tree_util.tree_map(np.asarray, tree)))
