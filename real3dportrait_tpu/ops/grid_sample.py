@@ -24,6 +24,20 @@ def _unnormalize(coord: jnp.ndarray, size: int, align_corners: bool = False) -> 
     return ((coord + 1.0) * size - 1.0) / 2.0
 
 
+def _source_coord(
+    coord: jnp.ndarray, size: int, align_corners: bool, padding_mode: str
+) -> jnp.ndarray:
+    """Unnormalize and, in border mode, clamp the CONTINUOUS coordinate to
+    [0, size-1] — torch's ``clip_coordinates``: interpolation weights must be
+    computed from the clamped coordinate, not merely the corner indices
+    clipped (corner-clipping underweights out-of-range samples on packed
+    gather paths where weight slots are remapped by ``delta``)."""
+    c = _unnormalize(coord, size, align_corners)
+    if padding_mode == "border":
+        c = jnp.clip(c, 0.0, size - 1.0)
+    return c
+
+
 def _gather_2d(img: jnp.ndarray, ix: jnp.ndarray, iy: jnp.ndarray) -> jnp.ndarray:
     """img [B,H,W,C], ix/iy [B,M] int32 (already clipped) -> [B,M,C]."""
     b, h, w, c = img.shape
@@ -40,8 +54,8 @@ def grid_sample_2d(
 ) -> jnp.ndarray:
     """Bilinear sample. features [B,H,W,C], coords [B,M,2] in [-1,1] -> [B,M,C]."""
     b, h, w, c = features.shape
-    x = _unnormalize(coords[..., 0], w, align_corners)
-    y = _unnormalize(coords[..., 1], h, align_corners)
+    x = _source_coord(coords[..., 0], w, align_corners, padding_mode)
+    y = _source_coord(coords[..., 1], h, align_corners, padding_mode)
 
     x0 = jnp.floor(x)
     y0 = jnp.floor(y)
@@ -76,9 +90,9 @@ def grid_sample_3d(
 ) -> jnp.ndarray:
     """Trilinear sample. features [B,D,H,W,C], coords [B,M,3] (x,y,z) -> [B,M,C]."""
     b, d, h, w, c = features.shape
-    x = _unnormalize(coords[..., 0], w, align_corners)
-    y = _unnormalize(coords[..., 1], h, align_corners)
-    z = _unnormalize(coords[..., 2], d, align_corners)
+    x = _source_coord(coords[..., 0], w, align_corners, padding_mode)
+    y = _source_coord(coords[..., 1], h, align_corners, padding_mode)
+    z = _source_coord(coords[..., 2], d, align_corners, padding_mode)
 
     x0, y0, z0 = jnp.floor(x), jnp.floor(y), jnp.floor(z)
     wx1, wy1, wz1 = x - x0, y - y0, z - z0
@@ -127,9 +141,9 @@ def grid_sample_3d_packed(
     b, d, h, w, c = features.shape
     if h < 2 or w < 2:  # packing needs a 2x2 xy cell
         return grid_sample_3d(features, coords, align_corners, padding_mode)
-    x = _unnormalize(coords[..., 0], w, align_corners)
-    y = _unnormalize(coords[..., 1], h, align_corners)
-    z = _unnormalize(coords[..., 2], d, align_corners)
+    x = _source_coord(coords[..., 0], w, align_corners, padding_mode)
+    y = _source_coord(coords[..., 1], h, align_corners, padding_mode)
+    z = _source_coord(coords[..., 2], d, align_corners, padding_mode)
 
     x0, y0, z0 = jnp.floor(x), jnp.floor(y), jnp.floor(z)
     wx1, wy1, wz1 = x - x0, y - y0, z - z0
@@ -168,6 +182,21 @@ def grid_sample_3d_packed(
     wxy = jnp.stack([sy0 * sx0, sy0 * sx1, sy1 * sx0, sy1 * sx1], axis=-1)
 
     m = coords.shape[1]
+
+    if d == 1:
+        # flagship fast path (triplane_depth=1): both z corners clip to the
+        # single depth slice, so the two gathers would fetch IDENTICAL rows.
+        # One gather with the combined z weight — exactly equivalent, and
+        # gathers are the transaction-bound unit on TPU.
+        if padding_mode == "zeros":
+            wz = wz0 * ((z0 >= 0) & (z0 <= 0)) + wz1 * ((z0 + 1 >= 0) & (z0 + 1 <= 0))
+        else:
+            wz = jnp.ones_like(wz0)  # border: coords pre-clamped, wz0+wz1=1
+        idx = yi * w + xi
+        rows = jnp.take_along_axis(packed, idx[..., None], axis=1)
+        vals = rows.reshape(b, m, 4, c)
+        wgt = wxy * wz[..., None]
+        return jnp.sum(vals * wgt[..., None].astype(vals.dtype), axis=2)
 
     def z_corner(zc, wz):
         zi = jnp.clip(zc, 0, d - 1).astype(jnp.int32)
@@ -231,9 +260,9 @@ def grid_sample_3d_prepacked(
     gather row per sample (the TPU gather unit is transaction-bound)."""
     d, h, w, c = dims
     b = packed.shape[0]
-    x = _unnormalize(coords[..., 0], w, align_corners)
-    y = _unnormalize(coords[..., 1], h, align_corners)
-    z = _unnormalize(coords[..., 2], d, align_corners)
+    x = _source_coord(coords[..., 0], w, align_corners, padding_mode)
+    y = _source_coord(coords[..., 1], h, align_corners, padding_mode)
+    z = _source_coord(coords[..., 2], d, align_corners, padding_mode)
 
     x0, y0, z0 = jnp.floor(x), jnp.floor(y), jnp.floor(z)
     wx1, wy1, wz1 = x - x0, y - y0, z - z0

@@ -53,6 +53,55 @@ def test_grid_sample_3d_matches_torch():
     np.testing.assert_allclose(np.asarray(ours), ref, rtol=1e-4, atol=1e-5)
 
 
+def test_grid_sample_3d_border_matches_torch():
+    """Border mode vs torch, align_corners=True — the torso-warp config
+    (`facev2v_warp/network.py:297`). Regression test for the round-2 red
+    parity tests: out-of-range coords must clamp the CONTINUOUS coordinate
+    (torch clip_coordinates), not just the corner indices."""
+    import torch
+    import torch.nn.functional as F
+
+    from real3dportrait_tpu.ops.grid_sample import (
+        grid_sample_3d, grid_sample_3d_packed, grid_sample_3d_packed8,
+    )
+
+    rng = np.random.RandomState(2)
+    feats = rng.randn(2, 4, 6, 7, 4).astype(np.float32)
+    coords = (rng.rand(2, 60, 3) * 2.8 - 1.4).astype(np.float32)  # far OOB
+
+    t_feats = torch.from_numpy(feats).permute(0, 4, 1, 2, 3)
+    t_grid = torch.from_numpy(coords).reshape(2, 1, 1, -1, 3)
+    ref = F.grid_sample(t_feats, t_grid, mode="bilinear",
+                        padding_mode="border", align_corners=True)
+    ref = ref.reshape(2, 4, -1).permute(0, 2, 1).numpy()
+
+    for fn in (grid_sample_3d, grid_sample_3d_packed, grid_sample_3d_packed8):
+        ours = fn(jnp.asarray(feats), jnp.asarray(coords),
+                  align_corners=True, padding_mode="border")
+        np.testing.assert_allclose(np.asarray(ours), ref, rtol=1e-4,
+                                   atol=1e-5, err_msg=fn.__name__)
+
+
+def test_grid_sample_3d_packed_depth1_single_gather():
+    """The d=1 (flagship triplane_depth) fast path of the packed sampler
+    matches the reference path in both padding modes."""
+    from real3dportrait_tpu.ops.grid_sample import (
+        grid_sample_3d, grid_sample_3d_packed,
+    )
+
+    k = jax.random.PRNGKey(11)
+    feats = jax.random.normal(k, (2, 1, 9, 11, 5))
+    coords = jax.random.uniform(jax.random.PRNGKey(12), (2, 300, 3),
+                                minval=-1.3, maxval=1.3)
+    for pad in ("zeros", "border"):
+        for ac in (False, True):
+            want = grid_sample_3d(feats, coords, align_corners=ac,
+                                  padding_mode=pad)
+            got = grid_sample_3d_packed(feats, coords, align_corners=ac,
+                                        padding_mode=pad)
+            assert float(jnp.max(jnp.abs(want - got))) < 1e-5, (pad, ac)
+
+
 def test_grid_sample_2d_grad_flows():
     feats = jnp.ones((1, 4, 4, 2))
     coords = jnp.zeros((1, 3, 2))
