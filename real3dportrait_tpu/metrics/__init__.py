@@ -1,4 +1,6 @@
-from real3dportrait_tpu.metrics.image_metrics import lpips_surrogate, psnr, ssim
+from real3dportrait_tpu.metrics.image_metrics import (
+    lpips, lpips_kind, lpips_surrogate, psnr, ssim,
+)
 from real3dportrait_tpu.metrics.gan_metrics import (
     calc_metric,
     frechet_distance,
@@ -12,6 +14,8 @@ __all__ = [
     "psnr",
     "ssim",
     "lpips_surrogate",
+    "lpips",
+    "lpips_kind",
     "calc_metric",
     "frechet_distance",
     "kernel_distance",

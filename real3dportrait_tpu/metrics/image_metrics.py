@@ -69,3 +69,23 @@ def lpips_surrogate(pred: jnp.ndarray, target: jnp.ndarray, levels: int = 4) -> 
         pred = jax.image.resize(pred, (b, h // 2, w // 2, c), "linear")
         target = jax.image.resize(target, (b, h // 2, w // 2, c), "linear")
     return total / max(n, 1)
+
+
+def lpips(pred: jnp.ndarray, target: jnp.ndarray, cfg=None) -> jnp.ndarray:
+    """Real LPIPS(net='vgg') when ``cfg['lpips_vgg_ckpt']`` weights exist
+    (see ``tools/convert_torch_ckpt.convert_lpips_vgg``), else the pyramid
+    surrogate — flagged by :func:`lpips_kind`. [B,H,W,3] in [-1,1] -> [B]."""
+    from real3dportrait_tpu.models.perceptual import make_lpips_fn
+
+    fn = make_lpips_fn(cfg or {})
+    if fn is not None:
+        return fn(pred, target)
+    return lpips_surrogate(pred, target)
+
+
+def lpips_kind(cfg=None) -> str:
+    """"lpips_vgg" when real weights are wired, else "surrogate" — callers
+    must record this next to any reported LPIPS number."""
+    from real3dportrait_tpu.models.perceptual import make_lpips_fn
+
+    return "lpips_vgg" if make_lpips_fn(cfg or {}) is not None else "surrogate"

@@ -51,6 +51,20 @@ def temporal_laplacian(x, mask=None):
     return jnp.sum(err * m) / jnp.maximum(jnp.sum(m), 1.0)
 
 
+# mediapipe-468 landmark index sets used by the reference's weighting
+# (`tasks/os_avatar/audio2motion_task.py:307-311`): topology facts of the
+# mediapipe face mesh, required to reproduce the loss geometry exactly.
+_MP468_UNMATCHED = (93, 127, 132, 234, 323, 356, 361, 454)
+_MP468_UPPER_EYE = (161, 160, 159, 158, 157, 388, 387, 386, 385, 384)
+_MP468_EYE = (33, 246, 161, 160, 159, 158, 157, 173, 133, 155, 154, 153,
+              145, 144, 163, 7, 263, 466, 388, 387, 386, 385, 384, 398,
+              362, 382, 381, 380, 374, 373, 390, 249)
+_MP468_INNER_LIP = (78, 191, 80, 81, 82, 13, 312, 311, 310, 415, 308, 324,
+                    318, 402, 317, 14, 87, 178, 88, 95)
+_MP468_OUTER_LIP = (61, 185, 40, 39, 37, 0, 267, 269, 270, 409, 291, 375,
+                    321, 405, 314, 17, 84, 181, 91, 146)
+
+
 def weighted_lm3d_mse(pred_lm, gt_lm, mask=None, eye_weight=3.0, lip_weight=5.0,
                       n_landmarks=68):
     """Landmark MSE with eye/mouth up-weighting (`audio2motion_task.py:301`)."""
@@ -58,8 +72,13 @@ def weighted_lm3d_mse(pred_lm, gt_lm, mask=None, eye_weight=3.0, lip_weight=5.0,
     if n_landmarks == 68:
         weights = weights.at[17:48].set(eye_weight).at[48:68].set(lip_weight)
     elif n_landmarks == 468:
-        # mediapipe: lips 0..16 analog not trivial; weight mouth ring + eyes
-        weights = weights.at[jnp.arange(61, 88)].set(lip_weight)
+        # exact reference weighting (`audio2motion_task.py:313-318`):
+        # eye 3, upper-eye 20, lips 5, BFM-unmatched points 0
+        weights = weights.at[jnp.array(_MP468_EYE)].set(eye_weight)
+        weights = weights.at[jnp.array(_MP468_UPPER_EYE)].set(20.0)
+        weights = weights.at[jnp.array(_MP468_INNER_LIP)].set(lip_weight)
+        weights = weights.at[jnp.array(_MP468_OUTER_LIP)].set(lip_weight)
+        weights = weights.at[jnp.array(_MP468_UNMATCHED)].set(0.0)
     err = jnp.square(pred_lm - gt_lm) * weights[None, None, :, None]
     if mask is None:
         return jnp.mean(err)

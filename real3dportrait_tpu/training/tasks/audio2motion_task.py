@@ -34,7 +34,11 @@ class Audio2MotionTask(BaseTask):
             use_mouth_amp_embed=bool(cfg.get("use_mouth_amp_embed", True)),
             use_eye_amp_embed=bool(cfg.get("use_eye_amp_embed", False)),
         )
-        self.assets = load_or_synthetic_bfm(cfg.get("bfm_dir"))
+        # the reference trains audio2motion against MEDIAPIPE-468 landmarks
+        # (`audio2motion_task.py:50`, Face3DHelper(keypoint_mode='mediapipe'))
+        self.keypoint_mode = cfg.get("audio2motion_keypoint_mode", "mediapipe")
+        self.assets = load_or_synthetic_bfm(cfg.get("bfm_dir"),
+                                            keypoint_mode=self.keypoint_mode)
         from real3dportrait_tpu.training.schedulers import with_grad_accumulation
 
         self.optimizer = with_grad_accumulation(optax.chain(
@@ -49,7 +53,13 @@ class Audio2MotionTask(BaseTask):
             cfg.get("lambda_sync", 0.0)
         ) > 0
         if self.use_syncnet:
+            # lm468 feeds ALL 468x3 idexp landmarks to the syncnet
+            # (`audio2motion_task.py:51,185`); lm68 modes feed the 20-point
+            # mouth slice (48:68)
+            self.sync_lm_dim = (468 * 3 if self.keypoint_mode == "mediapipe"
+                                else 60)
             self.syncnet = LandmarkHubertSyncNet(
+                lm_dim=self.sync_lm_dim,
                 base_hid_size=int(cfg.get("syncnet_base_hid_size", 128)),
                 out_dim=int(cfg.get("syncnet_out_hid_size", 1024)),
             )
@@ -62,7 +72,8 @@ class Audio2MotionTask(BaseTask):
         params = {"model": variables["params"]}
         extra = {}
         if self.use_syncnet:
-            sv = self.syncnet.init(r1, jnp.zeros((1, 10, 1024)), jnp.zeros((1, 5, 60)))
+            sv = self.syncnet.init(r1, jnp.zeros((1, 10, 1024)),
+                                   jnp.zeros((1, 5, self.sync_lm_dim)))
             from real3dportrait_tpu.training import checkpoint as ckpt
 
             restored, _ = ckpt.get_last_checkpoint(self.cfg["syncnet_ckpt_dir"])
@@ -116,7 +127,11 @@ class Audio2MotionTask(BaseTask):
             n_clips = min(int(cfg.get("syncnet_num_clip_pairs", 8192)) // 64, t - 5)
             starts = jax.random.randint(jax.random.fold_in(rng, 1), (n_clips,), 0,
                                         t - 5)
-            mouth = pred_lm[:, :, 48:68].reshape(pred.shape[0], t, -1) * 1.0
+            if self.keypoint_mode == "mediapipe":
+                # full 468-landmark motion rep (`audio2motion_task.py:185`)
+                mouth = pred_lm.reshape(pred.shape[0], t, -1)
+            else:
+                mouth = pred_lm[:, :, 48:68].reshape(pred.shape[0], t, -1)
             hub = batch["audio"]
 
             def clip_at(s):
@@ -127,7 +142,7 @@ class Audio2MotionTask(BaseTask):
 
             hub_clips, mouth_clips = jax.vmap(clip_at)(starts)
             hub_clips = hub_clips.reshape(-1, 10, hub.shape[-1])
-            mouth_clips = mouth_clips.reshape(-1, 5, 60)
+            mouth_clips = mouth_clips.reshape(-1, 5, mouth.shape[-1])
             a_emb, m_emb = self.syncnet.apply({"params": params["syncnet"]},
                                               hub_clips, mouth_clips)
             sync_loss, _ = cal_sync_loss(jax.lax.stop_gradient(a_emb), m_emb, 1.0)

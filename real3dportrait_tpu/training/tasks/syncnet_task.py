@@ -24,8 +24,13 @@ from real3dportrait_tpu.training.train_state import TrainState
 class SyncNetTask(BaseTask):
     def __init__(self, cfg):
         super().__init__(cfg)
+        # syncnet_keypoint_mode mirrors `audio_lm3d_syncnet.py:52-64`: the
+        # shipped lineage is lm468 (468 mediapipe landmarks x 3 = 1404-d).
+        mode = cfg.get("syncnet_keypoint_mode", "lm468")
+        self.lm_dim = {"lip": 60, "centered_lip": 60, "centered_lip2d": 40,
+                       "lm68": 68 * 3, "lm468": 468 * 3}[mode]
         self.model = LandmarkHubertSyncNet(
-            lm_dim=60,
+            lm_dim=self.lm_dim,
             audio_dim=1024,
             num_layers_per_block=int(cfg.get("syncnet_num_layers_per_block", 3)),
             base_hid_size=int(cfg.get("syncnet_base_hid_size", 128)),
@@ -42,7 +47,7 @@ class SyncNetTask(BaseTask):
 
     def build(self, rng) -> TrainState:
         hubert = jnp.zeros((1, 10, 1024))
-        mouth = jnp.zeros((1, 5, 60))
+        mouth = jnp.zeros((1, 5, self.lm_dim))
         variables = self.model.init(rng, hubert, mouth)
         params = variables["params"]
         return TrainState(
@@ -109,6 +114,6 @@ class SyncNetTask(BaseTask):
         label = (rng.rand(b) > 0.5).astype(np.float32)
         return {
             "hubert_clip": rng.randn(b, 10, 1024).astype(np.float32),
-            "mouth_clip": rng.randn(b, 5, 60).astype(np.float32),
+            "mouth_clip": rng.randn(b, 5, self.lm_dim).astype(np.float32),
             "label": label,
         }

@@ -760,3 +760,94 @@ def save_vgg19(tree: dict, path: str) -> None:
     with open(path, "wb") as f:
         f.write(serialization.msgpack_serialize(
             jax.tree_util.tree_map(np.asarray, tree)))
+
+
+# ---------------------------------------------------------------------------
+# SyncNet (LandmarkHubertSyncNet)
+# ---------------------------------------------------------------------------
+
+_SYNCNET_RENAMES = [
+    # torch tower Sequential index i, Conv1d block = Sequential(conv, bn)
+    # (`modules/syncnet/models.py:8-14`)
+    (r"\b(hubert_encoder|mouth_encoder)\.(\d+)\.conv_block\.0\.",
+     r"\1.layer_\2.Conv_0."),
+    (r"\b(hubert_encoder|mouth_encoder)\.(\d+)\.conv_block\.1\.",
+     r"\1.layer_\2.norm."),
+]
+
+
+def _syncnet_leaf(parts: tuple[str, ...], arr: np.ndarray):
+    leaf = parts[-1]
+    if leaf == "weight" and arr.ndim == 3:  # Conv1d [out,in,k] -> [k,in,out]
+        return ("params", parts[:-1] + ("kernel",),
+                np.ascontiguousarray(arr.transpose(2, 1, 0)))
+    return convert_leaf(parts, arr)
+
+
+def convert_syncnet(sd: Mapping) -> dict:
+    """Reference ``LandmarkHubertSyncNet`` (`modules/syncnet/models.py:58`) ->
+    our ``LandmarkHubertSyncNet(norm_mode="affine")`` tree. The shipped
+    lineage uses lm_dim=1404 (468 mediapipe landmarks x 3,
+    `egs/os_avatar/audio_lm3d_syncnet.yaml:19`)."""
+    sd = {k: _to_np(v) for k, v in sd.items()
+          if not k.startswith(("logit_scale", "clip_loss"))}
+    fold_batchnorm_to_affine(sd)
+    return convert_state_dict(sd, renames=_SYNCNET_RENAMES,
+                              leaf_fn=_syncnet_leaf)
+
+
+def convert_vggface(sd: Mapping) -> dict:
+    """VGGFace weights -> the VGGFace branch tree of ``perceptual_v2``.
+
+    Accepts either the vgg_face_dag layout (``conv1_1.weight`` ...,
+    `facev2v_warp/losses.py:76-96` remaps it) or an already-remapped
+    torchvision-style ``features.<i>.weight`` layout."""
+    from real3dportrait_tpu.models.perceptual import VGGFACE_CONVS
+
+    sd = {k.removeprefix("features."): _to_np(v) for k, v in sd.items()}
+    if "conv1_1.weight" in sd:  # vgg_face_dag naming -> feature indices
+        dag_map = {0: "conv1_1", 2: "conv1_2", 5: "conv2_1", 7: "conv2_2",
+                   10: "conv3_1", 12: "conv3_2", 14: "conv3_3",
+                   17: "conv4_1", 19: "conv4_2", 21: "conv4_3",
+                   24: "conv5_1", 26: "conv5_2", 28: "conv5_3"}
+        sd = {f"{i}.{leaf}": sd[f"{name}.{leaf}"]
+              for i, name in dag_map.items() for leaf in ("weight", "bias")
+              if f"{name}.{leaf}" in sd}
+    tree = {}
+    for idx, out_ch, _ in VGGFACE_CONVS:
+        w = sd[f"{idx}.weight"]
+        assert w.shape[0] == out_ch, (idx, w.shape)
+        tree[f"conv{idx}"] = {
+            "kernel": np.transpose(w, (2, 3, 1, 0)),
+            "bias": sd[f"{idx}.bias"],
+        }
+    return tree
+
+
+def convert_lpips_vgg(sd: Mapping) -> dict:
+    """``lpips.LPIPS(net='vgg', lpips=True)`` state_dict -> our
+    :func:`real3dportrait_tpu.models.perceptual.lpips_vgg` tree.
+
+    Expected keys: ``net.slice{1..5}.<i>.weight`` (torchvision vgg16 feature
+    indices preserved inside slices) and ``lin{k}.model.1.weight``
+    ([1,C,1,1] non-negative 1x1 convs). The scaling-layer shift/scale are
+    fixed constants baked into ``lpips_vgg``."""
+    from real3dportrait_tpu.models.perceptual import LPIPS_VGG16_CONVS
+
+    flat = {}
+    for k, v in sd.items():
+        m = re.match(r"net\.slice\d+\.(\d+)\.(weight|bias)$", k)
+        if m:
+            flat[f"{m.group(1)}.{m.group(2)}"] = _to_np(v)
+    tree = {}
+    for idx, out_ch, _ in LPIPS_VGG16_CONVS:
+        w = flat[f"{idx}.weight"]
+        assert w.shape[0] == out_ch, (idx, w.shape)
+        tree[f"conv{idx}"] = {
+            "kernel": np.transpose(w, (2, 3, 1, 0)),
+            "bias": flat[f"{idx}.bias"],
+        }
+    for k in range(5):
+        w = _to_np(sd[f"lin{k}.model.1.weight"])  # [1,C,1,1]
+        tree[f"lin{k}"] = {"kernel": w.reshape(w.shape[1], 1)}
+    return tree
