@@ -110,10 +110,18 @@ class SyncNetDataset:
         self.ds = IndexedDataset(path)
         self.cfg = cfg
         self.rng = np.random.RandomState(seed)
+        # landmark rep must match the task's model input dims
+        # (`audio_lm3d_syncnet.py:143-160`): lip/centered modes slice the
+        # 20 mouth points of the 68-lm set; lm68/lm468 feed the full set
+        self.keypoint_mode = cfg.get("syncnet_keypoint_mode", "lm468")
         if assets is None:
             from real3dportrait_tpu.geometry import load_or_synthetic_bfm
 
-            assets = load_or_synthetic_bfm(cfg.get("bfm_dir"))
+            assets = load_or_synthetic_bfm(
+                cfg.get("bfm_dir"),
+                keypoint_mode="mediapipe" if self.keypoint_mode == "lm468"
+                else "lm68",
+            )
         self.assets = assets
         self.audio_key = ("hubert" if cfg.get("audio_type", "hubert") == "hubert"
                           else "mel")
@@ -124,7 +132,7 @@ class SyncNetDataset:
         return len(self.ds)
 
     def _mouth_and_audio(self, idx: int) -> tuple[np.ndarray, np.ndarray]:
-        """Cached ([t,60] mouth landmark offsets, [2t,A] audio) per video."""
+        """Cached ([t,lm_dim] landmark offsets, [2t,A] audio) per video."""
         if idx not in self._cache:
             import jax.numpy as jnp
 
@@ -140,7 +148,10 @@ class SyncNetDataset:
                 idc = np.broadcast_to(idc[:1], (t, 80))
             lm = np.asarray(reconstruct_idexp_lm3d(
                 self.assets, jnp.asarray(idc), jnp.asarray(exp)))
-            mouth = lm[:, 48:68].reshape(t, -1)
+            if self.keypoint_mode in ("lm68", "lm468"):
+                mouth = lm.reshape(t, -1)  # full landmark motion rep
+            else:
+                mouth = lm[:, 48:68].reshape(t, -1)
             audio = np.asarray(item[self.audio_key], np.float32)
             t = min(t, len(audio) // 2)
             if len(self._cache) >= self.cache_videos:

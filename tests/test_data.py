@@ -114,11 +114,16 @@ def test_syncnet_dataset_mining_mix(tmp_path):
 
     path = str(tmp_path / "sync")
     binarize(make_synthetic_records(n_videos=3, t=40), path)
+    # shipped mode: full 468-landmark motion rep (lm_dim = 1404)
     cfg = FrozenConfig({"syncnet_num_clip_pairs": 40})
     ds = SyncNetDataset(path, cfg, seed=0)
     batch = next(ds.batches())
     # fixed clip-batch shapes: 5-frame mouth window, 10-frame audio window
-    assert batch["mouth_clip"].shape == (40, 5, 60)
+    assert batch["mouth_clip"].shape == (40, 5, 468 * 3)
+    # legacy lip mode still slices the 20 mouth points of the 68-lm set
+    ds_lip = SyncNetDataset(path, FrozenConfig(
+        {"syncnet_num_clip_pairs": 8, "syncnet_keypoint_mode": "lip"}), seed=0)
+    assert next(ds_lip.batches())["mouth_clip"].shape == (8, 5, 60)
     assert batch["hubert_clip"].shape == (40, 10, 1024)
     assert batch["label"].shape == (40,)
     # the reference's phase mix 0.4/0.3/0.2/0.1 (`audio_lm3d_syncnet.py:174`)
