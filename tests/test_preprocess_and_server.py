@@ -76,3 +76,75 @@ def test_server_health_and_index():
             assert b"Synthesize" in r.read()
     finally:
         httpd.shutdown()
+
+
+# --- pYIN F0 tracker (`utils/audio/pitch_extractors.py:75` replacement) ----
+
+
+def _octave_err_rate(f0, truth_fn, hop=320, sr=16000):
+    import numpy as np
+
+    errs = n = 0
+    for t, f in enumerate(f0):
+        if f <= 0:
+            continue
+        ft = truth_fn(t * hop / sr)
+        if ft <= 0:
+            continue
+        n += 1
+        if abs(1200 * np.log2(f / ft)) > 600:
+            errs += 1
+    return errs / max(n, 1), n
+
+
+def test_pyin_tracks_glide_without_octave_errors():
+    import numpy as np
+
+    from real3dportrait_tpu.audio.features import extract_f0_pyin
+
+    sr, dur = 16000, 3.0
+    t = np.arange(int(sr * dur)) / sr
+    f_inst = 100 * 3.0 ** (t / dur)  # 100 -> 300 Hz exponential glide
+    wav = np.sin(np.cumsum(2 * np.pi * f_inst / sr)).astype(np.float32)
+    f0 = extract_f0_pyin(wav)
+    rate, n = _octave_err_rate(f0, lambda tt: 100 * 3.0 ** (tt / dur))
+    assert n > 100
+    assert rate == 0.0
+
+
+def test_pyin_octave_trap_and_voicing():
+    """Strong 2nd/3rd harmonics with a weak fundamental — the classic
+    halving/doubling trap; plus unvoiced noise must stay unvoiced."""
+    import numpy as np
+
+    from real3dportrait_tpu.audio.features import extract_f0_pyin
+
+    sr = 16000
+    t = np.arange(sr * 2) / sr
+    f_base = 140.0
+    wav = (0.15 * np.sin(2 * np.pi * f_base * t)
+           + 1.0 * np.sin(2 * np.pi * 2 * f_base * t)
+           + 0.8 * np.sin(2 * np.pi * 3 * f_base * t)).astype(np.float32)
+    f0 = extract_f0_pyin(wav)
+    rate, n = _octave_err_rate(f0, lambda tt: f_base)
+    assert n > 50 and rate == 0.0
+    assert abs(float(np.median(f0[f0 > 0])) - f_base) < 3.0
+
+    noise = np.random.RandomState(0).randn(sr).astype(np.float32) * 0.1
+    f0n = extract_f0_pyin(noise)
+    assert float((f0n > 0).mean()) < 0.05
+
+
+def test_pyin_voiced_unvoiced_segmentation():
+    import numpy as np
+
+    from real3dportrait_tpu.audio.features import extract_f0_pyin
+
+    sr = 16000
+    t = np.arange(sr // 2) / sr
+    tone = np.sin(2 * np.pi * 200 * t).astype(np.float32)
+    sil = np.zeros(sr // 2, np.float32)
+    wav = np.concatenate([tone, sil, tone, sil])
+    f0 = extract_f0_pyin(wav)
+    frac = float((f0 > 0).mean())
+    assert 0.4 < frac < 0.65  # ~half the stream is voiced
