@@ -123,12 +123,30 @@ class Real3DPortraitPipeline:
         self._init_weights(mock_weights, a2m_ckpt_dir, secc2video_ckpt_dir)
         self._build_jit_fns()
         self.hubert_fn = None
-        try:
-            from real3dportrait_tpu.audio import load_hubert_extractor
+        # device-resident JAX HuBERT preferred: a msgpack tree converted by
+        # tools/convert_torch_ckpt.convert_hubert keeps the whole audio
+        # front-end on TPU (replaces extract_hubert.py:19 host-torch)
+        if hubert_path and str(hubert_path).endswith(".msgpack"):
+            try:
+                from flax import serialization
 
-            self.hubert_fn = load_hubert_extractor(hubert_path)
-        except Exception:
-            pass
+                from real3dportrait_tpu.audio.hubert import (
+                    hubert_large, make_jax_hubert_extractor,
+                )
+
+                with open(hubert_path, "rb") as f:
+                    variables = serialization.msgpack_restore(f.read())
+                self.hubert_fn = make_jax_hubert_extractor(variables,
+                                                           hubert_large())
+            except Exception:
+                self.hubert_fn = None
+        if self.hubert_fn is None:
+            try:
+                from real3dportrait_tpu.audio import load_hubert_extractor
+
+                self.hubert_fn = load_hubert_extractor(hubert_path)
+            except Exception:
+                pass
 
     # -- weights ---------------------------------------------------------
 

@@ -976,3 +976,49 @@ def test_lpips_vgg_converter_parity():
     tree = convert_lpips_vgg(sd)
     got = np.asarray(lpips_vgg(tree, jnp.asarray(x), jnp.asarray(y)))
     np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-5)
+
+
+@pytest.mark.parametrize("norm_mode", ["layer", "group"])
+def test_hubert_converter_parity(norm_mode):
+    """Random-weight HF HubertModel oracle (tiny config, both norm families)
+    -> convert -> our Flax HubertEncoder hidden states agree."""
+    import jax.numpy as jnp
+
+    transformers = pytest.importorskip("transformers")
+
+    from real3dportrait_tpu.audio.hubert import HubertEncoder
+    from tools.convert_torch_ckpt import convert_hubert
+
+    torch.manual_seed(70)
+    cfg = transformers.HubertConfig(
+        hidden_size=128, num_hidden_layers=2, num_attention_heads=2,
+        intermediate_size=256,
+        conv_dim=(32, 32, 32), conv_kernel=(10, 3, 2), conv_stride=(5, 2, 2),
+        feat_extract_norm=norm_mode,
+        do_stable_layer_norm=(norm_mode == "layer"),
+        feat_proj_layer_norm=True,
+        num_conv_pos_embeddings=16, num_conv_pos_embedding_groups=4,
+        feat_extract_activation="gelu",
+        hidden_act="gelu",
+        layer_norm_eps=1e-6,
+    )
+    tm = transformers.HubertModel(cfg).eval()
+
+    wav = np.random.RandomState(70).randn(1, 2000).astype(np.float32)
+    with torch.no_grad():
+        want = tm(torch.from_numpy(wav)).last_hidden_state.numpy()
+
+    fm = HubertEncoder(
+        hidden=128, layers=2, heads=2, ffn=256,
+        conv_dims=(32, 32, 32), conv_kernels=(10, 3, 2),
+        conv_strides=(5, 2, 2),
+        feat_extract_norm=norm_mode,
+        do_stable_layer_norm=(norm_mode == "layer"),
+        pos_conv_kernel=16, pos_conv_groups=4,
+        feat_proj_layer_norm=True,
+    )
+    variables = convert_hubert(tm.state_dict())
+    got = np.asarray(fm.apply(variables, jnp.asarray(wav)))
+    assert got.shape == want.shape, (got.shape, want.shape)
+    scale = np.std(want) + 1e-12
+    _agree(got / scale, want / scale, tol=2e-3)

@@ -851,3 +851,98 @@ def convert_lpips_vgg(sd: Mapping) -> dict:
         w = _to_np(sd[f"lin{k}.model.1.weight"])  # [1,C,1,1]
         tree[f"lin{k}"] = {"kernel": w.reshape(w.shape[1], 1)}
     return tree
+
+
+def convert_hubert(sd: Mapping) -> dict:
+    """HF ``HubertModel`` state dict -> our ``HubertEncoder`` tree
+    (`real3dportrait_tpu/audio/hubert.py`; replaces the host-torch call of
+    `data_gen/utils/process_audio/extract_hubert.py:19`).
+
+    Handles both feat_extract_norm families and both torch weight-norm
+    layouts of the positional conv (classic ``weight_g``/``weight_v`` and
+    parametrizations ``original0``/``original1``).
+    """
+    sd = {k: _to_np(v) for k, v in sd.items()}
+    sd = {k.removeprefix("hubert.").removeprefix("model."): v
+          for k, v in sd.items()}
+    p: dict = {}
+
+    def put(path, arr):
+        _set_path(p, path, np.asarray(arr))
+
+    # --- conv feature extractor -------------------------------------------
+    i = 0
+    while f"feature_extractor.conv_layers.{i}.conv.weight" in sd:
+        w = sd[f"feature_extractor.conv_layers.{i}.conv.weight"]  # [O,I,K]
+        put(("feature_extractor", f"conv_{i}", "kernel"),
+            w.transpose(2, 1, 0))
+        ln_w = sd.get(f"feature_extractor.conv_layers.{i}.layer_norm.weight")
+        if ln_w is not None:
+            ln_b = sd[f"feature_extractor.conv_layers.{i}.layer_norm.bias"]
+            # group mode only has it on conv 0 and it is a GroupNorm
+            is_group = (i == 0 and
+                        f"feature_extractor.conv_layers.1.layer_norm.weight"
+                        not in sd)
+            name = "gn_0" if is_group else f"ln_{i}"
+            put(("feature_extractor", name, "scale"), ln_w)
+            put(("feature_extractor", name, "bias"), ln_b)
+        i += 1
+
+    # --- feature projection ------------------------------------------------
+    if "feature_projection.layer_norm.weight" in sd:
+        put(("feat_ln", "scale"), sd["feature_projection.layer_norm.weight"])
+        put(("feat_ln", "bias"), sd["feature_projection.layer_norm.bias"])
+    put(("feat_proj", "kernel"), sd["feature_projection.projection.weight"].T)
+    put(("feat_proj", "bias"), sd["feature_projection.projection.bias"])
+
+    # --- positional conv embedding (weight-norm folded, dim=2) -------------
+    if "encoder.pos_conv_embed.conv.weight_g" in sd:
+        g = sd["encoder.pos_conv_embed.conv.weight_g"]
+        v = sd["encoder.pos_conv_embed.conv.weight_v"]
+    else:
+        g = sd["encoder.pos_conv_embed.conv.parametrizations.weight.original0"]
+        v = sd["encoder.pos_conv_embed.conv.parametrizations.weight.original1"]
+    norm = np.sqrt(np.sum(np.square(v), axis=(0, 1), keepdims=True))
+    w = g * v / np.maximum(norm, 1e-12)  # [O, I/g, K]
+    put(("pos_conv", "conv", "kernel"), w.transpose(2, 1, 0))
+    put(("pos_conv", "conv", "bias"), sd["encoder.pos_conv_embed.conv.bias"])
+
+    # --- encoder ------------------------------------------------------------
+    put(("encoder_ln", "scale"), sd["encoder.layer_norm.weight"])
+    put(("encoder_ln", "bias"), sd["encoder.layer_norm.bias"])
+    li = 0
+    while f"encoder.layers.{li}.attention.q_proj.weight" in sd:
+        pre = f"encoder.layers.{li}"
+        hidden = sd[f"{pre}.attention.q_proj.weight"].shape[0]
+        # infer head count from the model width (HF convention 64-d heads)
+        heads = max(1, hidden // 64)
+        hd = hidden // heads
+        for tname, fname in (("q_proj", "query"), ("k_proj", "key"),
+                             ("v_proj", "value")):
+            w = sd[f"{pre}.attention.{tname}.weight"]  # [H, H]
+            b = sd[f"{pre}.attention.{tname}.bias"]
+            put((f"layer_{li}", "attention", fname, "kernel"),
+                w.T.reshape(hidden, heads, hd))
+            put((f"layer_{li}", "attention", fname, "bias"),
+                b.reshape(heads, hd))
+        wo = sd[f"{pre}.attention.out_proj.weight"]  # [H, H]
+        put((f"layer_{li}", "attention", "out", "kernel"),
+            wo.T.reshape(heads, hd, hidden))
+        put((f"layer_{li}", "attention", "out", "bias"),
+            sd[f"{pre}.attention.out_proj.bias"])
+        put((f"layer_{li}", "ln_attn", "scale"), sd[f"{pre}.layer_norm.weight"])
+        put((f"layer_{li}", "ln_attn", "bias"), sd[f"{pre}.layer_norm.bias"])
+        put((f"layer_{li}", "ln_ffn", "scale"),
+            sd[f"{pre}.final_layer_norm.weight"])
+        put((f"layer_{li}", "ln_ffn", "bias"),
+            sd[f"{pre}.final_layer_norm.bias"])
+        put((f"layer_{li}", "ffn_in", "kernel"),
+            sd[f"{pre}.feed_forward.intermediate_dense.weight"].T)
+        put((f"layer_{li}", "ffn_in", "bias"),
+            sd[f"{pre}.feed_forward.intermediate_dense.bias"])
+        put((f"layer_{li}", "ffn_out", "kernel"),
+            sd[f"{pre}.feed_forward.output_dense.weight"].T)
+        put((f"layer_{li}", "ffn_out", "bias"),
+            sd[f"{pre}.feed_forward.output_dense.bias"])
+        li += 1
+    return {"params": p}
