@@ -101,6 +101,7 @@ class OSAvatarImg2Plane(nn.Module):
     use_fused_decoder: bool = False   # Pallas fused plane-mean+MLP kernel
     fused_interpret: bool = False     # interpret mode (CPU testing)
     render_bf16: bool = False         # bf16 plane sampling + decoder matmuls
+    torso_bf16: bool = False          # bf16 compute through the torso branch
     head_norm_mode: str = "gn"        # "folded_bn" for converted torch ckpts
 
     @property
@@ -358,6 +359,7 @@ class OSAvatarSECCImg2PlaneTorso(OSAvatarSECCImg2Plane):
             torso_inp_mode=self.torso_inp_mode,
             torso_norm_mode="affine" if self.head_norm_mode == "folded_bn"
             else self.head_norm_mode,
+            torso_bf16=self.torso_bf16,
         )
 
     def cal_torso_appearance(self, cond: dict) -> jnp.ndarray:

@@ -38,6 +38,7 @@ class SuperresolutionHybrid8XDCWarp(nn.Module):
     torso_version: str = "v2"        # v1 | v2 (torso_model_version)
     torso_norm_mode: str = "gn"      # "affine" for converted torch ckpts
     torso_inp_mode: str = "rgb_alpha"  # shipped torso_inp_mode
+    torso_bf16: bool = False         # bf16 compute through the torso branch
 
     @nn.compact
     def __call__(
@@ -65,7 +66,9 @@ class SuperresolutionHybrid8XDCWarp(nn.Module):
             ret = WarpBasedTorsoModel(
                 torso_kp_num=self.torso_kp_num, scale=self.torso_scale,
                 version=self.torso_version, norm_mode=self.torso_norm_mode,
-                inp_mode=self.torso_inp_mode, name="torso_model",
+                inp_mode=self.torso_inp_mode,
+                dtype=jnp.bfloat16 if self.torso_bf16 else None,
+                name="torso_model",
             )(torso_mid, segmap, kp_s, kp_d, appearance_only=True)
             return ret["appearance_volume"], ret
         weights_img = jax.lax.stop_gradient(weights_img)
@@ -100,7 +103,9 @@ class SuperresolutionHybrid8XDCWarp(nn.Module):
         torso_ret = WarpBasedTorsoModel(
             torso_kp_num=self.torso_kp_num, scale=self.torso_scale,
             version=self.torso_version, norm_mode=self.torso_norm_mode,
-            inp_mode=self.torso_inp_mode, name="torso_model",
+            inp_mode=self.torso_inp_mode,
+            dtype=jnp.bfloat16 if self.torso_bf16 else None,
+            name="torso_model",
         )(torso_mid, segmap, kp_s, kp_d,
           target_torso_mask=target_torso_mask,
           appearance_volume=appearance_volume, **torso_kwargs)

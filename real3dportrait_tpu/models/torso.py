@@ -20,12 +20,13 @@ the 68 2D landmarks.
 
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Any, Sequence
 
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from real3dportrait_tpu.ops.conv3d import Conv3D
 from real3dportrait_tpu.ops.grid_sample import (
     grid_sample_2d,
     grid_sample_3d_packed,
@@ -73,6 +74,7 @@ class ConvBlock2D(nn.Module):
     pattern: str = "CNA"
     lrelu: bool = False
     norm_mode: str = "gn"
+    dtype: Any = None  # compute dtype; bf16 at inference (params stay fp32)
 
     @nn.compact
     def __call__(self, x):
@@ -80,7 +82,7 @@ class ConvBlock2D(nn.Module):
             if op == "C":
                 x = nn.Conv(self.out_channels, (self.kernel, self.kernel),
                             strides=self.stride, padding=self.kernel // 2,
-                            name="conv")(x)
+                            dtype=self.dtype, name="conv")(x)
             elif op == "N":
                 x = _norm(x, self.norm_mode, "norm")
             elif op == "A":
@@ -95,14 +97,18 @@ class ConvBlock3D(nn.Module):
     pattern: str = "CNA"
     lrelu: bool = False
     norm_mode: str = "gn"
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x):  # [B,D,H,W,C]
         for op in self.pattern:
             if op == "C":
-                x = nn.Conv(self.out_channels, (self.kernel,) * 3,
-                            strides=self.stride, padding=self.kernel // 2,
-                            name="conv")(x)
+                # depth-decomposed lowering: XLA's native NDHWC conv runs at
+                # a fraction of the MXU on these shallow volumes
+                x = Conv3D(self.out_channels, (self.kernel,) * 3,
+                           strides=(self.stride,) * 3 if isinstance(
+                               self.stride, int) else self.stride,
+                           dtype=self.dtype, name="conv")(x)
             elif op == "N":
                 x = _norm(x, self.norm_mode, "norm")
             elif op == "A":
@@ -130,23 +136,29 @@ def upsample_3d_hw(x):
 
 class ResBlock2D(nn.Module):
     norm_mode: str = "gn"
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x):
         c = x.shape[-1]
-        y = ConvBlock2D(c, pattern="NAC", norm_mode=self.norm_mode, name="block0")(x)
-        y = ConvBlock2D(c, pattern="NAC", norm_mode=self.norm_mode, name="block1")(y)
+        y = ConvBlock2D(c, pattern="NAC", norm_mode=self.norm_mode,
+                        dtype=self.dtype, name="block0")(x)
+        y = ConvBlock2D(c, pattern="NAC", norm_mode=self.norm_mode,
+                        dtype=self.dtype, name="block1")(y)
         return x + y
 
 
 class ResBlock3D(nn.Module):
     norm_mode: str = "gn"
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x):
         c = x.shape[-1]
-        y = ConvBlock3D(c, pattern="NAC", norm_mode=self.norm_mode, name="block0")(x)
-        y = ConvBlock3D(c, pattern="NAC", norm_mode=self.norm_mode, name="block1")(y)
+        y = ConvBlock3D(c, pattern="NAC", norm_mode=self.norm_mode,
+                        dtype=self.dtype, name="block0")(x)
+        y = ConvBlock3D(c, pattern="NAC", norm_mode=self.norm_mode,
+                        dtype=self.dtype, name="block1")(y)
         return x + y
 
 
@@ -237,20 +249,24 @@ class AppearanceFeatureExtractor(nn.Module):
     down_seq: Sequence[int] = (64, 128, 256)
     n_res: int = 6
     norm_mode: str = "gn"
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x):
-        nm = self.norm_mode
-        x = ConvBlock2D(self.down_seq[0], kernel=7, norm_mode=nm, name="in_conv")(x)
+        nm, dt = self.norm_mode, self.dtype
+        x = ConvBlock2D(self.down_seq[0], kernel=7, norm_mode=nm, dtype=dt,
+                        name="in_conv")(x)
         for i, ch in enumerate(self.down_seq[1:]):
-            x = avg_pool_2d(ConvBlock2D(ch, norm_mode=nm, name=f"down_{i}")(x))
-        x = nn.Conv(self.feat_channels * self.depth, (1, 1), name="mid_conv")(x)
+            x = avg_pool_2d(ConvBlock2D(ch, norm_mode=nm, dtype=dt,
+                                        name=f"down_{i}")(x))
+        x = nn.Conv(self.feat_channels * self.depth, (1, 1), dtype=dt,
+                    name="mid_conv")(x)
         b, h, w, _ = x.shape
         # channel-major split (C,D) matching reference view(N, C, D, H, W)
         x = x.reshape(b, h, w, self.feat_channels, self.depth)
         x = jnp.transpose(x, (0, 4, 1, 2, 3))  # [B,D,H,W,C]
         for i in range(self.n_res):
-            x = ResBlock3D(norm_mode=nm, name=f"res_{i}")(x)
+            x = ResBlock3D(norm_mode=nm, dtype=dt, name=f"res_{i}")(x)
         return x
 
 
@@ -263,6 +279,7 @@ class MotionFieldEstimator(nn.Module):
     down_seq: Sequence[int] = (32, 64, 128, 256, 512)
     up_seq: Sequence[int] = (512, 256, 128, 64, 32, 16)
     norm_mode: str = "gn"
+    dtype: Any = None
     # v2 (`facev2v_warp/network2.py:162`): condition the field on the rendered
     # target head + its NeRF weights through a dedicated encoder/fuser.
     use_head_cond: bool = False
@@ -277,7 +294,8 @@ class MotionFieldEstimator(nn.Module):
         b, d, h, w, c = fs.shape
         k = self.num_keypoints
 
-        fs_compressed = nn.Conv(self.compress_channels, (1, 1, 1), name="compress")(fs)
+        fs_compressed = nn.Conv(self.compress_channels, (1, 1, 1),
+                                dtype=self.dtype, name="compress")(fs)
 
         heat_s = kp2gaussian_3d(kp_s, d, h, w)
         heat_d = kp2gaussian_3d(kp_d, d, h, w)
@@ -295,11 +313,13 @@ class MotionFieldEstimator(nn.Module):
 
         x = inp
         for i, ch in enumerate(self.down_seq):
-            x = ConvBlock3D(ch, norm_mode=self.norm_mode, name=f"down_{i}")(x)
+            x = ConvBlock3D(ch, norm_mode=self.norm_mode, dtype=self.dtype,
+                            name=f"down_{i}")(x)
             x = avg_pool_3d_hw(x)
         for i, ch in enumerate(self.up_seq[1:]):
             x = upsample_3d_hw(x)
-            x = ConvBlock3D(ch, norm_mode=self.norm_mode, name=f"up_{i}")(x)
+            x = ConvBlock3D(ch, norm_mode=self.norm_mode, dtype=self.dtype,
+                            name=f"up_{i}")(x)
         x = jnp.concatenate([inp, x], axis=-1)
 
         if self.use_head_cond:
@@ -313,19 +333,20 @@ class MotionFieldEstimator(nn.Module):
             head = jax.image.resize(head, (b, 2 * h, 2 * w, head.shape[-1]),
                                     "bilinear", antialias=False)
             head = ConvBlock2D(self.head_hid_dim, kernel=7,
-                               norm_mode=self.norm_mode,
+                               norm_mode=self.norm_mode, dtype=self.dtype,
                                name="tgt_head_in_conv")(head)
             for i in range(3):
-                head = ResBlock2D(norm_mode=self.norm_mode,
+                head = ResBlock2D(norm_mode=self.norm_mode, dtype=self.dtype,
                                   name=f"tgt_head_res_{i}")(head)
             head = jax.image.resize(head, (b, h, w, self.head_hid_dim),
                                     "bilinear", antialias=False)
             head_vol = jnp.repeat(head[:, None], d, axis=1)
             x = jnp.concatenate([x, head_vol], axis=-1)
-            x = nn.Conv(self.head_hid_dim, (7, 7, 7), padding=3,
-                        name="tgt_head_fuser")(x)
+            x = Conv3D(self.head_hid_dim, (7, 7, 7), dtype=self.dtype,
+                       name="tgt_head_fuser")(x)
 
-        mask = nn.Conv(k + 1, (7, 7, 7), padding=3, name="mask_conv")(x)
+        mask = Conv3D(k + 1, (7, 7, 7), dtype=self.dtype,
+                      name="mask_conv")(x)
         mask = jax.nn.softmax(mask, axis=-1)  # over K+1 candidates
         mask = jnp.moveaxis(mask, -1, 1)[..., None]  # [B,K+1,D,H,W,1]
         deformation = jnp.sum(sparse_motion * mask, axis=1)  # [B,D,H,W,3]
@@ -349,6 +370,7 @@ class WarpGenerator(nn.Module):
     up_seq: Sequence[int] = (256, 128, 64)
     n_res: int = 6
     norm_mode: str = "gn"
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, fs: jnp.ndarray, deformation: jnp.ndarray):
@@ -362,14 +384,19 @@ class WarpGenerator(nn.Module):
         # collapse depth into channels: [B,H,W,C*D] (reference view(N,-1,H,W)
         # from NCDHW flattens C-major, D-minor)
         x = jnp.transpose(warped, (0, 2, 3, 4, 1)).reshape(b, h, w, c * d)
-        x = ConvBlock2D(self.up_seq[0], lrelu=True, norm_mode=nm, name="in_conv")(x)
-        x = nn.Conv(self.up_seq[0], (1, 1), name="mid_conv")(x)
+        dt = self.dtype
+        x = ConvBlock2D(self.up_seq[0], lrelu=True, norm_mode=nm, dtype=dt,
+                        name="in_conv")(x)
+        x = nn.Conv(self.up_seq[0], (1, 1), dtype=dt, name="mid_conv")(x)
         for i in range(self.n_res):
-            x = ResBlock2D(norm_mode=nm, name=f"res_{i}")(x)
+            x = ResBlock2D(norm_mode=nm, dtype=dt, name=f"res_{i}")(x)
         for i, ch in enumerate(self.up_seq[1:]):
             x = upsample_2d(x)
-            x = ConvBlock2D(ch, norm_mode=nm, name=f"up_{i}")(x)
-        rgb = nn.Conv(3, (7, 7), padding=3, name="out_conv")(x)
+            x = ConvBlock2D(ch, norm_mode=nm, dtype=dt, name=f"up_{i}")(x)
+        # final rgb conv in fp32: bf16 output quantization is visible in
+        # the composited torso colors
+        rgb = nn.Conv(3, (7, 7), padding=3, name="out_conv")(
+            x.astype(jnp.float32) if dt is not None else x)
         return rgb, x
 
 
@@ -436,6 +463,7 @@ class WarpBasedTorsoModel(nn.Module):
     # "rgb_alpha" (the shipped `torso_inp_mode`): the appearance extractor
     # also sees the 2-channel neck/torso segmap (`model2.py:227-229`)
     inp_mode: str = "rgb_alpha"
+    dtype: Any = None  # compute dtype for the conv stacks (bf16 inference)
 
     KP_SUBSETS = {4: (0, 8, 16, 27), 9: (0, 3, 6, 8, 10, 13, 16, 27, 33)}
 
@@ -472,7 +500,8 @@ class WarpBasedTorsoModel(nn.Module):
             feats = AppearanceFeatureExtractor(
                 arch["feat_channels"], arch["depth"],
                 down_seq=arch["app_down_seq"], n_res=arch["app_n_res"],
-                norm_mode=self.norm_mode, name="appearance_extractor",
+                norm_mode=self.norm_mode,
+                name="appearance_extractor",
             )(torso_src_img)
         b, d, h, w, c = feats.shape
 
@@ -502,23 +531,30 @@ class WarpBasedTorsoModel(nn.Module):
                 tgt_head_weights=jax.lax.stop_gradient(tgt_head_weights)
                 if tgt_head_weights is not None else None,
             )
+        # bf16 measured SLOWER for the motion-field estimator (its cost is
+        # warps/elementwise, not MXU) — the dtype knob drives only the
+        # deform generator, where bf16 convs are a measured 2.6x
         deformation, occlusion, occlusion_2 = MotionFieldEstimator(
             num_keypoints=self.torso_kp_num,
             down_seq=arch["motion_down_seq"], up_seq=arch["motion_up_seq"],
-            norm_mode=self.norm_mode, use_head_cond=(self.version == "v2"),
+            norm_mode=self.norm_mode,
+            use_head_cond=(self.version == "v2"),
             name="motion_field_estimator",
         )(motion_inp, kps, kpd, **head_kwargs)
 
         def scale_grad(t):
             return t * self.grad_scale + jax.lax.stop_gradient(t) * (1 - self.grad_scale)
 
-        deformation = scale_grad(deformation)
-        occlusion = scale_grad(occlusion)
-        occlusion_2 = scale_grad(occlusion_2)
+        # warp coordinates must be fp32: bf16 has ~3 decimal digits, far too
+        # coarse for sub-texel sampling positions
+        deformation = scale_grad(deformation).astype(jnp.float32)
+        occlusion = scale_grad(occlusion).astype(jnp.float32)
+        occlusion_2 = scale_grad(occlusion_2).astype(jnp.float32)
 
         rgb, hid = WarpGenerator(
             up_seq=arch["gen_up_seq"], n_res=arch["gen_n_res"],
-            norm_mode=self.norm_mode, name="deform_based_generator",
+            norm_mode=self.norm_mode, dtype=self.dtype,
+            name="deform_based_generator",
         )(feats, deformation)
 
         occ2_up = jax.image.resize(

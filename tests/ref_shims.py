@@ -215,7 +215,7 @@ def install_ref_shims() -> None:
     pm_models.torchvision_models = pm_tvm
     pm.models = pm_models
 
-    sys.modules.update({
+    shims = {
         "timm": timm, "timm.models": models, "timm.models.layers": layers,
         "timm.models.registry": registry,
         "timm.models.vision_transformer": vit,
@@ -224,7 +224,17 @@ def install_ref_shims() -> None:
         "torchvision.models.resnet": tv_resnet,
         "pretrainedmodels": pm, "pretrainedmodels.models": pm_models,
         "pretrainedmodels.models.torchvision_models": pm_tvm,
-    })
+    }
+    # give every shim a real ModuleSpec: importlib.util.find_spec raises
+    # "ValueError: <name>.__spec__ is None" on spec-less modules, which
+    # breaks innocent bystanders probing for optional deps (e.g.
+    # transformers.utils.import_utils checking for timm)
+    import importlib.machinery
+
+    for name, mod in shims.items():
+        if getattr(mod, "__spec__", None) is None:
+            mod.__spec__ = importlib.machinery.ModuleSpec(name, loader=None)
+    sys.modules.update(shims)
 
 
 @contextlib.contextmanager

@@ -192,3 +192,57 @@ def test_torso_appearance_cache_equivalence():
     got = m.apply(variables, img, cam, dict(cond, torso_appearance=vol),
                   secc=secc)["image"]
     assert jnp.max(jnp.abs(want - got)) < 1e-5
+
+
+def test_torso_bf16_close_to_fp32():
+    """bf16 compute dtype through the torso branch stays within a small
+    relative bound of fp32 (the inference fast path; params stay fp32)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from real3dportrait_tpu.models.torso import WarpBasedTorsoModel
+
+    kw = dict(scale="tiny", torso_kp_num=4, version="v2", inp_mode="rgb")
+    m32 = WarpBasedTorsoModel(**kw)
+    m16 = WarpBasedTorsoModel(dtype=jnp.bfloat16, **kw)
+    rs = np.random.RandomState(0)
+    img = jnp.asarray(rs.rand(1, 64, 64, 3).astype(np.float32) * 2 - 1)
+    seg = jnp.zeros((1, 64, 64, 6)).at[..., 4].set(1.0)
+    kp = jnp.asarray((rs.rand(1, 68, 3) - 0.5).astype(np.float32))
+    head = jnp.asarray(rs.rand(1, 16, 16, 3).astype(np.float32))
+    wts = jnp.asarray(rs.rand(1, 16, 16, 1).astype(np.float32))
+    v = m32.init(jax.random.PRNGKey(0), img, seg, kp, kp,
+                 tgt_head_img=head, tgt_head_weights=wts)
+    out32 = m32.apply(v, img, seg, kp, kp, tgt_head_img=head,
+                      tgt_head_weights=wts)
+    out16 = m16.apply(v, img, seg, kp, kp, tgt_head_img=head,
+                      tgt_head_weights=wts)
+    for k in ("deformed_torso_img", "occlusion_2"):
+        a = np.asarray(out32[k], np.float32)
+        b = np.asarray(out16[k], np.float32)
+        scale = np.abs(a).max() + 1e-6
+        assert np.abs(a - b).max() / scale < 0.03, (k, np.abs(a - b).max(), scale)
+
+
+def test_conv3d_via_2d_matches_nn_conv():
+    """The depth-decomposed 3D conv lowering is numerically equivalent to
+    flax nn.Conv (same kernel layout, SAME padding)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from flax import linen as nn
+
+    from real3dportrait_tpu.ops.conv3d import Conv3D
+
+    rs = np.random.RandomState(0)
+    x = jnp.asarray(rs.randn(2, 5, 8, 9, 6).astype(np.float32))
+    for k in (1, 3, 7):
+        ref = nn.Conv(4, (k, k, k), padding=k // 2)
+        ours = Conv3D(4, (k, k, k))
+        v = ref.init(jax.random.PRNGKey(k), x)
+        want = ref.apply(v, x)
+        got = ours.apply(v, x)
+        assert got.shape == want.shape
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-5, atol=2e-5)
