@@ -131,3 +131,43 @@ def test_precision_recall_and_ppl():
 
     ppl_val = perceptual_path_length(smooth, z_dim=8, n_samples=8, epsilon=1e-2)
     assert np.isfinite(ppl_val) and ppl_val >= 0
+
+
+def test_visualization_suite():
+    """Spec/attention/t-SNE/landmark-video helpers (`utils/visualization/`)."""
+    import numpy as np
+
+    from real3dportrait_tpu.utils import visualization as V
+
+    fig = V.spec_to_figure(np.random.rand(50, 80),
+                           f0s={"f0": np.random.rand(50) * 300})
+    img = V.figure_to_image(fig)
+    assert img.ndim == 3 and img.shape[-1] == 3
+
+    att = V.plot_attention_img(np.random.rand(16, 16))
+    assert att.shape == (16, 16, 3) and att.dtype == np.uint8
+
+    emb = V.tsne_scatter(np.random.randn(30, 8),
+                         labels=np.repeat([0, 1, 2], 10))
+    assert V.figure_to_image(emb).shape[-1] == 3
+
+    # numpy t-SNE fallback directly (sklearn may or may not exist)
+    y = V._tsne_numpy(np.random.randn(24, 6), perplexity=5, n_iter=50)
+    assert y.shape == (24, 2) and np.isfinite(y).all()
+
+
+def test_render_lm3d_video(tmp_path):
+    import os
+    import shutil
+
+    import numpy as np
+    import pytest
+
+    if shutil.which("ffmpeg") is None:
+        pytest.skip("no ffmpeg in image")
+    from real3dportrait_tpu.utils.visualization import render_lm3d_video
+
+    seq = np.random.randn(4, 68, 3).astype(np.float32)
+    out = str(tmp_path / "lm.mp4")
+    render_lm3d_video(seq, out, fps=4, size=64)
+    assert os.path.exists(out) and os.path.getsize(out) > 0
