@@ -144,6 +144,39 @@ def make_random_projection_extractor(feature_dim: int = 512, seed: int = 0,
     return extract
 
 
+def make_inception_extractor(weights_path: str, batch: int = 16) -> Callable | None:
+    """InceptionV3 pool-feature extractor from a ``convert_inception``
+    msgpack tree (pytorch-fid convention) — the comparable-FID path.
+    None when the weight file is absent (zero-egress image default)."""
+    from real3dportrait_tpu.metrics.inception import (
+        inception_pool_features, load_inception_params,
+    )
+
+    params = load_inception_params(weights_path)
+    if params is None:
+        return None
+    fn = jax.jit(lambda imgs: inception_pool_features(params, imgs))
+
+    def extract(images: np.ndarray) -> np.ndarray:
+        outs = []
+        for i in range(0, len(images), batch):
+            outs.append(np.asarray(fn(jnp.asarray(images[i : i + batch]))))
+        return np.concatenate(outs, 0)
+
+    return extract
+
+
+def resolve_extractor(cfg=None) -> tuple[Callable, str]:
+    """(extractor, kind): Inception when ``cfg['inception_ckpt']`` weights
+    exist, else the random-projection fallback. The kind string must be
+    recorded next to any reported score."""
+    cfg = cfg or {}
+    inc = make_inception_extractor(str(cfg.get("inception_ckpt", "") or ""))
+    if inc is not None:
+        return inc, "inception_v3"
+    return make_random_projection_extractor(), "random_projection"
+
+
 # --- registered metrics -------------------------------------------------------
 
 

@@ -284,11 +284,18 @@ def render_rays(
     ray_directions: jnp.ndarray,
     options: RenderOptions,
     key: jax.Array | None = None,
+    axis_name: str | None = None,
 ) -> dict[str, Any]:
     """Full two-pass render (`renderer.py:118`).
 
     Returns dict with ``rgb`` [B,M,C] (feature image, first 3 channels are
     color), ``depth`` [B,M,1], ``weights_sum`` [B,M,1], ``is_ray_valid`` [B,M].
+
+    ``axis_name``: set when called inside ``shard_map`` over the ray axis
+    (context parallelism). Everything here is ray-local except the
+    valid-population min/max fallback for rays that miss the box — with an
+    axis name those two reductions run as ``pmin``/``pmax`` over the mesh so
+    the sharded render is bit-identical to the unsharded one.
     """
     b, m, _ = ray_origins.shape
     keys = jax.random.split(key, 4) if key is not None else (None,) * 4
@@ -305,6 +312,9 @@ def render_rays(
         big = jnp.float32(1e10)
         start_min = jnp.min(jnp.where(is_valid[..., None], ray_start, big))
         start_max = jnp.max(jnp.where(is_valid[..., None], ray_start, -big))
+        if axis_name is not None:
+            start_min = jax.lax.pmin(start_min, axis_name)
+            start_max = jax.lax.pmax(start_max, axis_name)
         ray_start = jnp.where(is_valid[..., None], ray_start, start_min)
         ray_end = jnp.where(is_valid[..., None], ray_end, start_max)
     else:

@@ -1022,3 +1022,37 @@ def test_hubert_converter_parity(norm_mode):
     assert got.shape == want.shape, (got.shape, want.shape)
     scale = np.std(want) + 1e-12
     _agree(got / scale, want / scale, tol=2e-3)
+
+
+@pytest.mark.slow
+def test_inception_converter_parity():
+    """Random-weight torchvision-layout InceptionV3 trunk (hand-rolled
+    oracle with the pytorch-fid pooling patches) -> convert_inception ->
+    our Flax pool features agree. Makes FID/KID a pure weight-drop."""
+    import jax
+    import jax.numpy as jnp
+
+    from real3dportrait_tpu.metrics.inception import InceptionV3Features
+    from tests.ref_shims import build_torch_inception
+    from tools.convert_torch_ckpt import convert_inception
+
+    torch.manual_seed(80)
+    tm = build_torch_inception().eval()
+    with torch.no_grad():
+        # keep eval-BN from exploding activations through 17 blocks: set
+        # running stats to something realistic
+        for mod in tm.modules():
+            if isinstance(mod, torch.nn.BatchNorm2d):
+                mod.running_var.fill_(4.0)
+
+    rs = np.random.RandomState(80)
+    x = rs.uniform(-1, 1, (2, 96, 96, 3)).astype(np.float32)
+    with torch.no_grad():
+        want = tm(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+
+    variables = convert_inception(tm.state_dict())
+    got = np.asarray(jax.jit(InceptionV3Features().apply)(
+        variables, jnp.asarray(x)))
+    assert got.shape == want.shape == (2, 2048)
+    scale = np.abs(want).max() + 1e-9
+    _agree(got / scale, want / scale, tol=3e-3)

@@ -946,3 +946,31 @@ def convert_hubert(sd: Mapping) -> dict:
             sd[f"{pre}.feed_forward.output_dense.bias"])
         li += 1
     return {"params": p}
+
+
+def convert_inception(sd: Mapping) -> dict:
+    """torchvision/pytorch-fid ``inception_v3`` state dict -> our
+    ``InceptionV3Features`` tree (BN eps=1e-3 folded to per-channel affine).
+
+    Key layout: ``<block>.<branch>.conv.weight`` + ``.bn.{weight,bias,
+    running_mean,running_var}`` (torchvision naming, which pytorch-fid
+    reuses). AuxLogits/fc are ignored (FID uses pool3 features only).
+    """
+    sd = {k: _to_np(v) for k, v in sd.items()
+          if not k.startswith(("AuxLogits", "fc."))}
+    p: dict = {}
+    bases = sorted({k[: -len(".conv.weight")] for k in sd
+                    if k.endswith(".conv.weight")})
+    for base in bases:
+        w = sd[f"{base}.conv.weight"]  # [O,I,kh,kw]
+        gamma = sd[f"{base}.bn.weight"]
+        beta = sd[f"{base}.bn.bias"]
+        mean = sd[f"{base}.bn.running_mean"]
+        var = sd[f"{base}.bn.running_var"]
+        scale = gamma / np.sqrt(var + 1e-3)  # torchvision BasicConv2d eps
+        path = tuple(base.split("."))
+        _set_path(p, path + ("conv", "kernel"),
+                  np.ascontiguousarray(w.transpose(2, 3, 1, 0)))
+        _set_path(p, path + ("bn_scale",), scale)
+        _set_path(p, path + ("bn_bias",), beta - mean * scale)
+    return {"params": p}
