@@ -818,6 +818,7 @@ def test_vgg19_converter_parity(tmp_path):
     assert np.isfinite(val) and val > 0
 
 
+@pytest.mark.slow
 def test_vggface_perceptual_v2_parity(tmp_path):
     """Random-weight oracle of the SHIPPED lpips_mode=vgg19_v2 criterion
     (`facev2v_warp/losses.py:116`, PerceptualLoss = VGG19 + VGGFace +

@@ -1,3 +1,7 @@
+import pytest
+
+# heavy end-to-end module: excluded from the fast gating tier
+pytestmark = pytest.mark.slow
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -3,6 +3,9 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+# heavy end-to-end module: excluded from the fast gating tier
+pytestmark = pytest.mark.slow
+
 from real3dportrait_tpu.geometry import fov_to_intrinsics, lookat_pose, pack_camera
 from real3dportrait_tpu.models.eg3d import TriPlaneGenerator
 from real3dportrait_tpu.models.img2plane import OSAvatarImg2Plane, OSAvatarSECCImg2Plane

@@ -1,6 +1,9 @@
 import numpy as np
 import pytest
 
+# heavy end-to-end module: excluded from the fast gating tier
+pytestmark = pytest.mark.slow
+
 from real3dportrait_tpu.config import FrozenConfig
 
 TINY_CFG = FrozenConfig({

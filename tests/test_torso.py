@@ -54,6 +54,7 @@ def torso_inputs():
     return img, segmap, kp_s, kp_d
 
 
+@pytest.mark.slow
 def test_warp_torso_model_tiny(torso_inputs):
     img, segmap, kp_s, kp_d = torso_inputs
     model = WarpBasedTorsoModel(torso_kp_num=4, scale="tiny")
@@ -95,6 +96,7 @@ def test_warp_torso_masked_reg(torso_inputs):
     assert bool(jnp.isfinite(out["losses"]["facev2v/occlusion_reg_l1"]))
 
 
+@pytest.mark.slow
 def test_sr_warp_fusion_tiny():
     b, r = 1, 8  # raw render 8 -> mid 16 -> final 32
     sr = SuperresolutionHybrid8XDCWarp(
@@ -124,6 +126,7 @@ def test_sr_warp_fusion_tiny():
     assert "deformed_torso_img" in torso_ret
 
 
+@pytest.mark.slow
 def test_torso_avatar_end_to_end():
     model = OSAvatarSECCImg2PlaneTorso(
         triplane_hid_dim=8, triplane_depth=2, neural_rendering_resolution=16,
@@ -159,6 +162,7 @@ def test_torso_avatar_end_to_end():
     np.testing.assert_allclose(np.asarray(out2["image"]), np.asarray(out["image"]), atol=1e-5)
 
 
+@pytest.mark.slow
 def test_torso_appearance_cache_equivalence():
     """Cached per-video appearance volume reproduces the uncached forward
     exactly (same masked extractor output fed back per frame)."""
@@ -194,6 +198,7 @@ def test_torso_appearance_cache_equivalence():
     assert jnp.max(jnp.abs(want - got)) < 1e-5
 
 
+@pytest.mark.slow
 def test_torso_bf16_close_to_fp32():
     """bf16 compute dtype through the torso branch stays within a small
     relative bound of fp32 (the inference fast path; params stay fp32)."""

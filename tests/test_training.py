@@ -124,6 +124,7 @@ def test_mesh_and_sharding():
     assert mesh2.shape == {"data": 4, "rays": 2}
 
 
+@pytest.mark.slow
 def test_syncnet_task_steps():
     from real3dportrait_tpu.training.tasks.syncnet_task import SyncNetTask
 
@@ -142,6 +143,7 @@ def test_syncnet_task_steps():
     assert "val_loss" in val
 
 
+@pytest.mark.slow
 def test_audio2motion_task_losses_decrease():
     from real3dportrait_tpu.training.tasks.audio2motion_task import Audio2MotionTask
 
@@ -161,6 +163,7 @@ def test_audio2motion_task_losses_decrease():
     assert float(metrics["mse_exp"]) < first  # same-batch overfit sanity
 
 
+@pytest.mark.slow
 def test_secc_img2plane_task_step():
     from real3dportrait_tpu.training.tasks.secc_img2plane_task import SeccImg2PlaneTask
 
@@ -214,6 +217,7 @@ def test_secc_task_grad_gates():
     assert float(gates6["superresolution"]) == 1.0
 
 
+@pytest.mark.slow
 def test_torso_task_step():
     from real3dportrait_tpu.training.tasks.secc_img2plane_torso_task import (
         SeccImg2PlaneTorsoTask,
@@ -241,6 +245,7 @@ def test_torso_task_step():
     assert max(jax.tree_util.tree_leaves(d_sr)) > 0.0
 
 
+@pytest.mark.slow
 def test_img2plane_distillation_step():
     from real3dportrait_tpu.training.tasks.img2plane_task import Img2PlaneTask
 
@@ -259,6 +264,7 @@ def test_img2plane_distillation_step():
     np.testing.assert_array_equal(np.asarray(teacher_before), np.asarray(teacher_after))
 
 
+@pytest.mark.slow
 def test_trainer_loop_smoke(tmp_path):
     from real3dportrait_tpu.training.tasks.syncnet_task import SyncNetTask
     from real3dportrait_tpu.training.trainer import Trainer
@@ -284,6 +290,7 @@ def test_trainer_loop_smoke(tmp_path):
     assert int(jax.device_get(state2.step)) == 8
 
 
+@pytest.mark.slow
 def test_eg3d_task_step():
     from real3dportrait_tpu.training.tasks.eg3d_task import EG3DTask
 
@@ -306,6 +313,7 @@ def test_eg3d_task_step():
     assert float(jnp.abs(g0 - e0).max()) > 0
 
 
+@pytest.mark.slow
 def test_curriculum_partial_restore(tmp_path):
     """Stage chaining: a torso task initializes its head modules from a
     secc_img2plane checkpoint via init_from_ckpt (the reference's
@@ -351,6 +359,7 @@ def test_parallel_map():
     assert pairs == {i: -i for i in range(5)}
 
 
+@pytest.mark.slow
 def test_trainer_dumps_val_images(tmp_path):
     """Trainer writes task-provided validation images as PNGs under
     work_dir/val_images/iter<step>/ each validation."""
@@ -424,3 +433,51 @@ def test_trainer_tee_and_code_snapshot(tmp_path):
     snaps = glob.glob(os.path.join(
         tmp_path, "codes", "*", "real3dportrait_tpu", "training", "trainer.py"))
     assert snaps
+
+
+def test_ray_cp_sharded_render_matches_unsharded():
+    """The real render path (trigrid sampling + OSGDecoder + importance
+    resampling) under shard_map over rays == unsharded render, including the
+    cross-shard pmin/pmax ray-limit fallback (SURVEY §5 'written ray-sharded
+    from day one')."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+    from jax.experimental.shard_map import shard_map
+
+    from real3dportrait_tpu.geometry import (
+        fov_to_intrinsics, lookat_pose, pack_camera,
+    )
+    from real3dportrait_tpu.geometry.camera import unpack_camera
+    from real3dportrait_tpu.models.decoder import OSGDecoder
+    from real3dportrait_tpu.parallel import make_mesh
+    from real3dportrait_tpu.rendering import (
+        RenderOptions, render_rays, sample_rays,
+    )
+
+    mesh = make_mesh({"rays": -1})
+    planes = jax.random.normal(jax.random.PRNGKey(0),
+                               (1, 3, 1, 32, 32, 32)) * 0.1
+    dec = OSGDecoder(hidden_dim=64, output_dim=32)
+    dv = dec.init(jax.random.PRNGKey(1), jnp.zeros((1, 3, 8, 32)), None)
+    cam = pack_camera(
+        lookat_pose(jnp.zeros((1,)), jnp.zeros((1,)), jnp.zeros((1, 3))),
+        fov_to_intrinsics(),
+    )
+    c2w, intr = unpack_camera(cam)
+    origins, dirs = sample_rays(c2w, intr, 16)  # 256 rays / 8 devices
+    opts = RenderOptions(depth_resolution=6, depth_resolution_importance=6)
+
+    def shard_fn(dv, planes, o, d):
+        decoder = lambda f, dd: dec.apply(dv, f, dd)
+        return render_rays(planes, decoder, o, d, opts, axis_name="rays")["rgb"]
+
+    sharded = shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P(), P(), P(None, "rays", None), P(None, "rays", None)),
+        out_specs=P(None, "rays", None), check_rep=False,
+    )
+    rgb_sharded = jax.jit(sharded)(dv, planes, origins, dirs)
+    decoder = lambda f, dd: dec.apply(dv, f, dd)
+    rgb_ref = render_rays(planes, decoder, origins, dirs, opts)["rgb"]
+    assert float(jnp.max(jnp.abs(rgb_sharded - rgb_ref))) < 1e-5
