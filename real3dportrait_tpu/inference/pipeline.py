@@ -598,33 +598,55 @@ class Real3DPortraitPipeline:
 
 
 class StreamingVideoWriter:
-    """Incremental frame writer (low-memory path): imageio when available,
-    otherwise appends raw uint8 frames to an .npy-compatible stream."""
+    """Incremental frame writer (low-memory path): cv2 H.264/mp4v when
+    available (this image ships OpenCV but no ffmpeg), then imageio, then a
+    raw uint8 stream."""
 
     def __init__(self, out_path: str, fps: int = 25):
         self.out_path = out_path
         self.fps = fps
+        self._cv2 = None
         self._writer = None
         self._fallback = None
         self.count = 0
 
+    def _open(self, u8: np.ndarray):
+        try:
+            import cv2
+
+            h, w = u8.shape[:2]
+            vw = cv2.VideoWriter(self.out_path,
+                                 cv2.VideoWriter_fourcc(*"mp4v"),
+                                 self.fps, (w, h))
+            if vw.isOpened():
+                self._cv2 = vw
+                return
+        except Exception:
+            pass
+        try:
+            import imageio
+
+            self._writer = imageio.get_writer(self.out_path, fps=self.fps)
+        except Exception:
+            self._fallback = open(self.out_path + ".raw", "wb")
+            self._shape = u8.shape
+
     def append(self, frame: np.ndarray):
         u8 = ((np.clip(frame, -1, 1) + 1) * 127.5).astype(np.uint8)
-        if self._writer is None and self._fallback is None:
-            try:
-                import imageio
-
-                self._writer = imageio.get_writer(self.out_path, fps=self.fps)
-            except Exception:
-                self._fallback = open(self.out_path + ".raw", "wb")
-                self._shape = u8.shape
-        if self._writer is not None:
+        if (self._cv2 is None and self._writer is None
+                and self._fallback is None):
+            self._open(u8)
+        if self._cv2 is not None:
+            self._cv2.write(u8[..., ::-1])  # RGB -> BGR
+        elif self._writer is not None:
             self._writer.append_data(u8)
         else:
             self._fallback.write(u8.tobytes())
         self.count += 1
 
     def close(self):
+        if self._cv2 is not None:
+            self._cv2.release()
         if self._writer is not None:
             self._writer.close()
         if self._fallback is not None:
@@ -638,15 +660,46 @@ class StreamingVideoWriter:
 
 def write_video(frames: np.ndarray, out_path: str, fps: int = 25,
                 wav: np.ndarray | None = None) -> None:
-    """Write frames ([-1,1] floats) to a video file, or PNG/NPY fallback."""
-    u8 = ((np.clip(frames, -1, 1) + 1) * 127.5).astype(np.uint8)
-    try:
-        import imageio
+    """Write frames ([-1,1] floats) to a video file, or NPY fallback.
 
-        writer = imageio.get_writer(out_path, fps=fps)
-        for f in u8:
-            writer.append_data(f)
-        writer.close()
-    except Exception:
-        np.save(out_path + ".npy", u8)
-        print(f"| imageio unavailable; wrote raw frames to {out_path}.npy")
+    Audio muxing needs an ffmpeg binary (`inference/real3d_infer.py:534`);
+    when absent (this image) the wav is saved alongside as ``<out>.wav``.
+    """
+    u8 = ((np.clip(frames, -1, 1) + 1) * 127.5).astype(np.uint8)
+    w = StreamingVideoWriter(out_path, fps=fps)
+    for f in frames:
+        w.append(f)
+    w.close()
+    if w._fallback is not None:
+        print(f"| no video backend; wrote raw frames to {out_path}.raw")
+    if wav is not None:
+        _mux_or_save_audio(out_path, wav)
+
+
+def _mux_or_save_audio(video_path: str, wav: np.ndarray,
+                       sr: int = 16000) -> None:
+    """ffmpeg audio mux when the binary exists; else save the wav next to
+    the video so players / downstream tools can combine them."""
+    import shutil
+    import struct
+    import subprocess
+
+    wav_path = video_path + ".wav"
+    pcm = (np.clip(np.asarray(wav, np.float32), -1, 1) * 32767).astype("<i2")
+    with open(wav_path, "wb") as f:
+        data = pcm.tobytes()
+        f.write(b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE")
+        f.write(b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, sr, sr * 2, 2, 16))
+        f.write(b"data" + struct.pack("<I", len(data)) + data)
+    if shutil.which("ffmpeg"):
+        muxed = video_path + ".muxed.mp4"
+        try:
+            subprocess.run(["ffmpeg", "-y", "-i", video_path, "-i", wav_path,
+                            "-c:v", "copy", "-c:a", "aac", "-shortest", muxed],
+                           check=True, capture_output=True)
+            import os
+
+            os.replace(muxed, video_path)
+            os.remove(wav_path)
+        except Exception:
+            pass
