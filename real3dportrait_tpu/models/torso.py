@@ -30,6 +30,8 @@ from real3dportrait_tpu.ops.conv3d import Conv3D
 from real3dportrait_tpu.ops.grid_sample import (
     grid_sample_2d,
     grid_sample_3d_packed,
+    grid_sample_3d_prepacked,
+    pack_trigrid_cells,
 )
 
 
@@ -217,12 +219,20 @@ def create_sparse_motions(kp_s: jnp.ndarray, kp_d: jnp.ndarray,
 
 
 def create_deformed_source_image(fs: jnp.ndarray, sparse_motions: jnp.ndarray):
-    """fs [B,D,H,W,C], motions [B,K+1,D,H,W,3] -> [B,K+1,D,H,W,C]."""
+    """fs [B,D,H,W,C], motions [B,K+1,D,H,W,3] -> [B,K+1,D,H,W,C].
+
+    The K+1 candidate warps sample the SAME compressed volume, whose rows
+    are tiny (C=4 -> 32 B bf16): the gather unit is transaction-bound, so
+    pack the 2x2x2 cells ONCE (8C = full-cell rows, one gather per sample)
+    and share the pack across candidates."""
     b, d, h, w, c = fs.shape
     k1 = sparse_motions.shape[1]
-    fs_rep = jnp.repeat(fs[:, None], k1, axis=1).reshape(b * k1, d, h, w, c)
+    packed = pack_trigrid_cells(fs)  # [B, D*H*W, 8C]
+    packed_rep = jnp.repeat(packed[:, None], k1, axis=1).reshape(
+        b * k1, d * h * w, 8 * c)
     coords = sparse_motions.reshape(b * k1, -1, 3)
-    warped = grid_sample_3d_packed(fs_rep, coords, align_corners=True, padding_mode="zeros")
+    warped = grid_sample_3d_prepacked(packed_rep, (d, h, w, c), coords,
+                                      align_corners=True, padding_mode="zeros")
     return warped.reshape(b, k1, d, h, w, c)
 
 
