@@ -97,7 +97,9 @@ def child_main() -> None:
     t0 = time.time()
     _report(results, event="building_flagship")
     frame_step, (variables, cam, secc, cano, cond) = ge._flagship(tiny=tiny)
-    _report(results, event="flagship_ready", seconds=round(time.time() - t0, 1))
+    fpc = getattr(frame_step, "frames_per_call", 1)
+    _report(results, event="flagship_ready", seconds=round(time.time() - t0, 1),
+            frames_per_call=fpc)
     step = jax.jit(frame_step)
 
     # CRITICAL timing discipline for the axon tunnel: block_until_ready is
@@ -127,7 +129,7 @@ def child_main() -> None:
         for _ in range(n_iters):
             out = step(variables, cam, secc, cano, cond)
         sync(out)
-        dt = (time.time() - t0) / n_iters
+        dt = (time.time() - t0) / (n_iters * fpc)
         _report(results, fps=1.0 / dt, kind="frame_step", window=w, tiny=tiny)
 
     # End-to-end audio-driven per-frame cost: SECC rasterization (the real
