@@ -162,8 +162,10 @@ def _bench_e2e(results, step, variables, cam, cano, cond, tiny) -> float:
 
     reduce = jax.jit(lambda x: x.sum())
 
-    fb = 2 if tiny else 8            # frames rasterized per batch
-    raster_res = 64 if tiny else 256  # z-buffer resolution
+    fb = 2 if tiny else int(os.environ.get("BENCH_SECC_BATCH", "8"))
+    # z-buffer resolution: the NCC cond maps are smooth color fields, so a
+    # reduced raster + bilinear upsample is visually lossless conditioning
+    raster_res = 64 if tiny else int(os.environ.get("BENCH_SECC_RES", "256"))
     out_res = 64 if tiny else 512     # cond-map resolution fed to the model
     # production mesh scale: BFM09 = 35709 verts / ~70k faces
     assets = synthetic_bfm(n_vertices=256 if tiny else 35709)
