@@ -38,12 +38,28 @@ def _source_coord(
     return c
 
 
+def _gather_rows(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """Batched row gather: table [B,R,C], idx [B,M] int32 -> [B,M,C].
+
+    For B == 1 this is a plain ``take_along_axis``. For B > 1 the batch is
+    FLATTENED into the gather axis (one rank-1 gather over a [B*R, C] table)
+    — XLA:TPU lowers the batched gather an order of magnitude slower than the
+    single-axis one (measured: b=4 trigrid sampling 3.4x slower PER ITEM than
+    b=1 via take_along_axis; linear via the flattened form)."""
+    b, r, c = table.shape
+    if b == 1:
+        return jnp.take_along_axis(table, idx[..., None], axis=1)
+    m = idx.shape[1]
+    flat_idx = (idx + jnp.arange(b, dtype=idx.dtype)[:, None] * r).reshape(-1)
+    return jnp.take(table.reshape(b * r, c), flat_idx, axis=0).reshape(b, m, c)
+
+
 def _gather_2d(img: jnp.ndarray, ix: jnp.ndarray, iy: jnp.ndarray) -> jnp.ndarray:
     """img [B,H,W,C], ix/iy [B,M] int32 (already clipped) -> [B,M,C]."""
     b, h, w, c = img.shape
     flat = img.reshape(b, h * w, c)
     idx = iy * w + ix
-    return jnp.take_along_axis(flat, idx[..., None], axis=1)
+    return _gather_rows(flat, idx)
 
 
 def grid_sample_2d(
@@ -105,7 +121,7 @@ def grid_sample_3d(
         yi_c = jnp.clip(yi, 0, h - 1).astype(jnp.int32)
         zi_c = jnp.clip(zi, 0, d - 1).astype(jnp.int32)
         idx = (zi_c * h + yi_c) * w + xi_c
-        v = jnp.take_along_axis(flat, idx[..., None], axis=1)
+        v = _gather_rows(flat, idx)
         if padding_mode == "zeros":
             inside = (
                 (xi >= 0) & (xi <= w - 1) & (yi >= 0) & (yi <= h - 1)
@@ -193,7 +209,7 @@ def grid_sample_3d_packed(
         else:
             wz = jnp.ones_like(wz0)  # border: coords pre-clamped, wz0+wz1=1
         idx = yi * w + xi
-        rows = jnp.take_along_axis(packed, idx[..., None], axis=1)
+        rows = _gather_rows(packed, idx)
         vals = rows.reshape(b, m, 4, c)
         wgt = wxy * wz[..., None]
         return jnp.sum(vals * wgt[..., None].astype(vals.dtype), axis=2)
@@ -201,7 +217,7 @@ def grid_sample_3d_packed(
     def z_corner(zc, wz):
         zi = jnp.clip(zc, 0, d - 1).astype(jnp.int32)
         idx = (zi * h + yi) * w + xi
-        rows = jnp.take_along_axis(packed, idx[..., None], axis=1)
+        rows = _gather_rows(packed, idx)
         vals = rows.reshape(b, m, 4, c)
         wgt = wxy * wz[..., None]
         if padding_mode == "zeros":
@@ -291,6 +307,6 @@ def grid_sample_3d_prepacked(
           * wx_[..., None, None, :]).reshape(*x.shape, 8)
 
     idx = (zi * h + yi) * w + xi
-    rows = jnp.take_along_axis(packed, idx[..., None], axis=1)
+    rows = _gather_rows(packed, idx)
     vals = rows.reshape(b, coords.shape[1], 8, c)
     return jnp.sum(vals * w8[..., None].astype(vals.dtype), axis=2)
