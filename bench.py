@@ -162,7 +162,11 @@ def _bench_e2e(results, step, variables, cam, cano, cond, tiny) -> float:
 
     reduce = jax.jit(lambda x: x.sum())
 
-    fb = 2 if tiny else int(os.environ.get("BENCH_SECC_BATCH", "8"))
+    # synthesis frames per device step (must divide the raster batch)
+    spc = getattr(step, "frames_per_call", None) or getattr(
+        getattr(step, "__wrapped__", step), "frames_per_call", 1)
+    fb = 2 if tiny else max(int(os.environ.get("BENCH_SECC_BATCH", "8")), spc)
+    fb = (fb // spc) * spc
     # z-buffer resolution: the NCC cond maps are smooth color fields, so a
     # reduced raster + bilinear upsample is visually lossless conditioning
     raster_res = 64 if tiny else int(os.environ.get("BENCH_SECC_RES", "256"))
@@ -186,19 +190,24 @@ def _bench_e2e(results, step, variables, cam, cano, cond, tiny) -> float:
     _report(results, event="e2e_raster_compiled", seconds=round(time.time() - t0, 1))
     src1 = src_secc[:1]
 
-    def per_frame_cond(tgt_secc_f):  # [1,H,W,3] -> [1,H,W,9]
-        return jnp.concatenate([cano_secc, src1, tgt_secc_f], axis=-1)
+    def frames_cond(tgt_secc_f):  # [spc,H,W,3] -> [spc,H,W,9]
+        n = tgt_secc_f.shape[0]
+        return jnp.concatenate([
+            jnp.broadcast_to(cano_secc, (n,) + cano_secc.shape[1:]),
+            jnp.broadcast_to(src1, (n,) + src1.shape[1:]),
+            tgt_secc_f,
+        ], axis=-1)
 
     # warmup both phases once
     _, tgt = renderer.render(ident, exps, euler, trans)
-    float(reduce(step(variables, cam, per_frame_cond(tgt[:1]), cano, cond)))
+    float(reduce(step(variables, cam, frames_cond(tgt[:spc]), cano, cond)))
 
     n_iters = 2 if tiny else 6
     t0 = time.time()
     for _ in range(n_iters):
         _, tgt = renderer.render(ident, exps, euler, trans)
-        for f in range(fb):
-            out = step(variables, cam, per_frame_cond(tgt[f:f + 1]), cano, cond)
+        for f in range(0, fb, spc):
+            out = step(variables, cam, frames_cond(tgt[f:f + spc]), cano, cond)
     float(reduce(out))  # in-order queue: syncs every raster + step above
     dt = (time.time() - t0) / (n_iters * fb)
     return 1.0 / dt

@@ -102,6 +102,7 @@ class OSAvatarImg2Plane(nn.Module):
     fused_interpret: bool = False     # interpret mode (CPU testing)
     render_bf16: bool = False         # bf16 plane sampling + decoder matmuls
     torso_bf16: bool = False          # bf16 compute through the torso branch
+    sr_fuse_bf16: bool = False        # bf16 compute in the SR fusion convs
     head_norm_mode: str = "gn"        # "folded_bn" for converted torch ckpts
 
     @property
@@ -360,6 +361,7 @@ class OSAvatarSECCImg2PlaneTorso(OSAvatarSECCImg2Plane):
             torso_norm_mode="affine" if self.head_norm_mode == "folded_bn"
             else self.head_norm_mode,
             torso_bf16=self.torso_bf16,
+            fuse_bf16=self.sr_fuse_bf16,
         )
 
     def cal_torso_appearance(self, cond: dict) -> jnp.ndarray:

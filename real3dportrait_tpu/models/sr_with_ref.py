@@ -39,6 +39,7 @@ class SuperresolutionHybrid8XDCWarp(nn.Module):
     torso_norm_mode: str = "gn"      # "affine" for converted torch ckpts
     torso_inp_mode: str = "rgb_alpha"  # shipped torso_inp_mode
     torso_bf16: bool = False         # bf16 compute through the torso branch
+    fuse_bf16: bool = False          # bf16 compute through the fusion convs
 
     @nn.compact
     def __call__(
@@ -110,14 +111,21 @@ class SuperresolutionHybrid8XDCWarp(nn.Module):
           target_torso_mask=target_torso_mask,
           appearance_volume=appearance_volume, **torso_kwargs)
         rgb_torso = torso_ret["deformed_torso_img"]
-        x_torso = nn.Conv(self.block0_channels, (1, 1), name="torso_encoder")(
+        # fusion convs: ~580 GFLOP of plain 3x3 convs at mid_resolution —
+        # the per-frame MXU whale after the renderer. bf16 compute (params
+        # fp32) halves their cost on TPU; rgb compositing stays fp32.
+        fdt = jnp.bfloat16 if self.fuse_bf16 else None
+        cdt = jnp.bfloat16 if self.fuse_bf16 else jnp.float32
+        x_torso = nn.Conv(self.block0_channels, (1, 1), dtype=fdt,
+                          name="torso_encoder")(
             torso_ret["deformed_torso_hid"]
         )
 
-        x_bg = nn.Conv(64, (3, 3), padding=1, name="bg_enc_conv0")(bg_mid)
-        x_bg = nn.Conv(self.block0_channels, (3, 3), padding=1,
+        x_bg = nn.Conv(64, (3, 3), padding=1, dtype=fdt,
+                       name="bg_enc_conv0")(bg_mid)
+        x_bg = nn.Conv(self.block0_channels, (3, 3), padding=1, dtype=fdt,
                        name="bg_enc_conv1")(nn.leaky_relu(x_bg, 0.01))
-        x_bg = nn.Conv(self.block0_channels, (3, 3), padding=1,
+        x_bg = nn.Conv(self.block0_channels, (3, 3), padding=1, dtype=fdt,
                        name="bg_enc_conv2")(nn.leaky_relu(x_bg, 0.01))
 
         if self.weight_fuse:
@@ -127,16 +135,18 @@ class SuperresolutionHybrid8XDCWarp(nn.Module):
                 x = x * alpha + x_torso * (1 - alpha)
             else:  # v2: alpha-cat + NoUp refinement block
                 rgb = rgb * alpha + rgb_torso * (1 - alpha)
-                x = jnp.concatenate([x * alpha, x_torso * (1 - alpha)], axis=-1)
-                x = nn.Conv(self.block0_channels, (3, 3), padding=1,
+                x = jnp.concatenate(
+                    [(x * alpha).astype(cdt),
+                     (x_torso * (1 - alpha)).astype(cdt)], axis=-1)
+                x = nn.Conv(self.block0_channels, (3, 3), padding=1, dtype=fdt,
                             name="fuse_ht_conv0")(x)
-                x = nn.Conv(self.block0_channels, (3, 3), padding=1,
+                x = nn.Conv(self.block0_channels, (3, 3), padding=1, dtype=fdt,
                             name="fuse_ht_conv1")(nn.leaky_relu(x, 0.01))
                 x, rgb = SynthesisBlock(
                     in_channels=self.block0_channels,
                     out_channels=self.block0_channels, w_dim=self.w_dim,
                     resolution=mid, img_channels=3, is_last=False,
-                    use_fp16=False, conv_clamp=None, up=1,
+                    use_fp16=self.fuse_bf16, conv_clamp=None, up=1,
                     name="head_torso_block",
                 )(x, rgb, ws, noise_mode=noise_mode)
 
@@ -145,15 +155,17 @@ class SuperresolutionHybrid8XDCWarp(nn.Module):
                 torso_ret["occlusion_2"], mid, antialias=aa
             )
             person = jnp.clip(torso_occlusion + head_occlusion, 0.0, 1.0)
-            rgb = rgb * person + bg_mid * (1 - person)
-            x = jnp.concatenate([x * person, x_bg * (1 - person)], axis=-1)
+            rgb = (rgb * person + bg_mid * (1 - person)).astype(jnp.float32)
+            x = jnp.concatenate(
+                [(x * person).astype(cdt), (x_bg * (1 - person)).astype(cdt)],
+                axis=-1)
         else:
             x = jnp.concatenate([x, x_torso, x_bg], axis=-1)
 
-        x = nn.Conv(64, (1, 1), name="fuse_fb_conv0")(x)
-        x = nn.Conv(self.block0_channels, (3, 3), padding=1,
+        x = nn.Conv(64, (1, 1), dtype=fdt, name="fuse_fb_conv0")(x)
+        x = nn.Conv(self.block0_channels, (3, 3), padding=1, dtype=fdt,
                     name="fuse_fb_conv1")(nn.leaky_relu(x, 0.01))
-        x = nn.Conv(self.block0_channels, (3, 3), padding=1,
+        x = nn.Conv(self.block0_channels, (3, 3), padding=1, dtype=fdt,
                     name="fuse_fb_conv2")(nn.leaky_relu(x, 0.01))
         x, rgb = SynthesisBlock(
             in_channels=self.block0_channels, out_channels=self.block1_channels,

@@ -127,13 +127,18 @@ def avg_pool_3d_hw(x):  # halve H,W of [B,D,H,W,C], keep D
 
 
 def upsample_2d(x):
+    """Nearest 2x upsample as broadcast+reshape (identical values to
+    jax.image.resize 'nearest' at exact 2x, but lowers to pure layout ops
+    instead of a gather)."""
     b, h, w, c = x.shape
-    return jax.image.resize(x, (b, 2 * h, 2 * w, c), "nearest")
+    x = jnp.broadcast_to(x[:, :, None, :, None, :], (b, h, 2, w, 2, c))
+    return x.reshape(b, 2 * h, 2 * w, c)
 
 
 def upsample_3d_hw(x):
     b, d, h, w, c = x.shape
-    return jax.image.resize(x, (b, d, 2 * h, 2 * w, c), "nearest")
+    x = jnp.broadcast_to(x[:, :, :, None, :, None, :], (b, d, h, 2, w, 2, c))
+    return x.reshape(b, d, 2 * h, 2 * w, c)
 
 
 class ResBlock2D(nn.Module):

@@ -138,6 +138,149 @@ def grid_sample_3d(
     return out
 
 
+def pack_xy_cells(features: jnp.ndarray) -> jnp.ndarray:
+    """Pack 2x2 xy cells into wide gather rows.
+
+    [B,H,W,C] -> [B, H*W, 4C] or [B,D,H,W,C] -> [B, D*H*W, 4C]; row (h,w)
+    holds [f(h,w), f(h,w+1), f(h+1,w), f(h+1,w+1)] (edge-padded). Build ONCE
+    per frame and sample with :func:`grid_sample_2d_prepacked` /
+    :func:`grid_sample_3d_prepacked4` — sharing the pack across the coarse
+    and fine passes halves the pack traffic.
+    """
+    if features.ndim == 4:
+        b, h, w, c = features.shape
+        fp = jnp.pad(features, ((0, 0), (0, 1), (0, 1), (0, 0)), mode="edge")
+        packed = jnp.concatenate([
+            fp[:, :h, :w], fp[:, :h, 1:w + 1],
+            fp[:, 1:h + 1, :w], fp[:, 1:h + 1, 1:w + 1],
+        ], axis=-1)
+        return packed.reshape(b, h * w, 4 * c)
+    b, d, h, w, c = features.shape
+    fp = jnp.pad(features, ((0, 0), (0, 0), (0, 1), (0, 1), (0, 0)),
+                 mode="edge")
+    packed = jnp.concatenate([
+        fp[:, :, :h, :w], fp[:, :, :h, 1:w + 1],
+        fp[:, :, 1:h + 1, :w], fp[:, :, 1:h + 1, 1:w + 1],
+    ], axis=-1)
+    return packed.reshape(b, d * h * w, 4 * c)
+
+
+def _xy_slot_weights(c0, w0_, w1_, size, padding_mode):
+    """Base row index + per-slot weights for one packed axis.
+
+    The gathered row holds values at (base, base+1) with base =
+    clip(c0, 0, size-2); when c0 clamps (delta = c0-base = +-1) the sample's
+    corner weights land on shifted slots — remap them so packed sampling
+    matches the unpacked path exactly, including zeros-mode border masking.
+    """
+    base = jnp.clip(c0, 0, size - 2)
+    delta = c0 - base  # in {-1, 0, +1...}
+    if padding_mode == "zeros":
+        in0 = (c0 >= 0) & (c0 <= size - 1)
+        in1 = (c0 + 1 >= 0) & (c0 + 1 <= size - 1)
+        w0_, w1_ = w0_ * in0, w1_ * in1
+    s0 = jnp.where(delta == 0, w0_, jnp.where(delta == -1, w1_, 0.0))
+    s1 = jnp.where(delta == 0, w1_, jnp.where(delta == 1, w0_, 0.0))
+    return base.astype(jnp.int32), s0, s1
+
+
+def grid_sample_2d_prepacked(
+    packed: jnp.ndarray,
+    dims: tuple,
+    coords: jnp.ndarray,
+    align_corners: bool = False,
+    padding_mode: str = "zeros",
+) -> jnp.ndarray:
+    """Bilinear sample from a :func:`pack_xy_cells` representation: ONE wide
+    gather row per sample (4C = a full vector register at C=32 bf16) instead
+    of 4 narrow C-rows — the TPU gather unit is transaction-bound, so this is
+    the fast path for the released flagship's depth-1 tri-planes
+    (`modules/eg3ds/volumetric_rendering/renderer.py:65` sample_from_planes).
+    """
+    h, w, c = dims
+    b = packed.shape[0]
+    x = _source_coord(coords[..., 0], w, align_corners, padding_mode)
+    y = _source_coord(coords[..., 1], h, align_corners, padding_mode)
+
+    x0, y0 = jnp.floor(x), jnp.floor(y)
+    wx1, wy1 = x - x0, y - y0
+    wx0, wy0 = 1 - wx1, 1 - wy1
+
+    xi, sx0, sx1 = _xy_slot_weights(x0, wx0, wx1, w, padding_mode)
+    yi, sy0, sy1 = _xy_slot_weights(y0, wy0, wy1, h, padding_mode)
+    wxy = jnp.stack([sy0 * sx0, sy0 * sx1, sy1 * sx0, sy1 * sx1], axis=-1)
+
+    rows = _gather_rows(packed, yi * w + xi)
+    vals = rows.reshape(b, coords.shape[1], 4, c)
+    return jnp.sum(vals * wxy[..., None].astype(vals.dtype), axis=2)
+
+
+def grid_sample_2d_packed(
+    features: jnp.ndarray,
+    coords: jnp.ndarray,
+    align_corners: bool = False,
+    padding_mode: str = "zeros",
+) -> jnp.ndarray:
+    """Bilinear sample via xy-cell packing; equivalent to
+    :func:`grid_sample_2d` (tested against it)."""
+    b, h, w, c = features.shape
+    if h < 2 or w < 2:
+        return grid_sample_2d(features, coords, align_corners, padding_mode)
+    packed = pack_xy_cells(features)
+    return grid_sample_2d_prepacked(packed, (h, w, c), coords,
+                                    align_corners, padding_mode)
+
+
+def grid_sample_3d_prepacked4(
+    packed: jnp.ndarray,
+    dims: tuple,
+    coords: jnp.ndarray,
+    align_corners: bool = False,
+    padding_mode: str = "zeros",
+) -> jnp.ndarray:
+    """Trilinear sample from a :func:`pack_xy_cells` representation of a
+    [B,D,H,W,C] volume: one 4C-row gather per z corner (one total when
+    D == 1, the released triplane depth)."""
+    d, h, w, c = dims
+    b = packed.shape[0]
+    x = _source_coord(coords[..., 0], w, align_corners, padding_mode)
+    y = _source_coord(coords[..., 1], h, align_corners, padding_mode)
+    z = _source_coord(coords[..., 2], d, align_corners, padding_mode)
+
+    x0, y0, z0 = jnp.floor(x), jnp.floor(y), jnp.floor(z)
+    wx1, wy1, wz1 = x - x0, y - y0, z - z0
+    wx0, wy0, wz0 = 1 - wx1, 1 - wy1, 1 - wz1
+
+    xi, sx0, sx1 = _xy_slot_weights(x0, wx0, wx1, w, padding_mode)
+    yi, sy0, sy1 = _xy_slot_weights(y0, wy0, wy1, h, padding_mode)
+    wxy = jnp.stack([sy0 * sx0, sy0 * sx1, sy1 * sx0, sy1 * sx1], axis=-1)
+
+    m = coords.shape[1]
+
+    if d == 1:
+        # flagship fast path (triplane_depth=1): both z corners clip to the
+        # single depth slice, so the two gathers would fetch IDENTICAL rows.
+        if padding_mode == "zeros":
+            wz = wz0 * ((z0 >= 0) & (z0 <= 0)) + wz1 * ((z0 + 1 >= 0) & (z0 + 1 <= 0))
+        else:
+            wz = jnp.ones_like(wz0)  # border: coords pre-clamped, wz0+wz1=1
+        rows = _gather_rows(packed, yi * w + xi)
+        vals = rows.reshape(b, m, 4, c)
+        wgt = wxy * wz[..., None]
+        return jnp.sum(vals * wgt[..., None].astype(vals.dtype), axis=2)
+
+    def z_corner(zc, wz):
+        zi = jnp.clip(zc, 0, d - 1).astype(jnp.int32)
+        rows = _gather_rows(packed, (zi * h + yi) * w + xi)
+        vals = rows.reshape(b, m, 4, c)
+        wgt = wxy * wz[..., None]
+        if padding_mode == "zeros":
+            wgt = wgt * ((zc >= 0) & (zc <= d - 1))[..., None]
+        return jnp.sum(vals * wgt[..., None].astype(vals.dtype), axis=2)
+
+    return z_corner(z0, wz0) + z_corner(z0 + 1, wz1)
+
+
 def grid_sample_3d_packed(
     features: jnp.ndarray,
     coords: jnp.ndarray,
@@ -157,74 +300,9 @@ def grid_sample_3d_packed(
     b, d, h, w, c = features.shape
     if h < 2 or w < 2:  # packing needs a 2x2 xy cell
         return grid_sample_3d(features, coords, align_corners, padding_mode)
-    x = _source_coord(coords[..., 0], w, align_corners, padding_mode)
-    y = _source_coord(coords[..., 1], h, align_corners, padding_mode)
-    z = _source_coord(coords[..., 2], d, align_corners, padding_mode)
-
-    x0, y0, z0 = jnp.floor(x), jnp.floor(y), jnp.floor(z)
-    wx1, wy1, wz1 = x - x0, y - y0, z - z0
-    wx0, wy0, wz0 = 1 - wx1, 1 - wy1, 1 - wz1
-
-    # packed[d, h, w] = [f(h,w), f(h,w+1), f(h+1,w), f(h+1,w+1)]
-    fp = jnp.pad(features, ((0, 0), (0, 0), (0, 1), (0, 1), (0, 0)),
-                 mode="edge")
-    packed = jnp.concatenate([
-        fp[:, :, :h, :w], fp[:, :, :h, 1:w + 1],
-        fp[:, :, 1:h + 1, :w], fp[:, :, 1:h + 1, 1:w + 1],
-    ], axis=-1).reshape(b, d * h * w, 4 * c)
-
-    def slot_weights(c0, w0_, w1_, size):
-        """Base row index + per-slot weights for one axis.
-
-        The gathered row holds values at (base, base+1) with base =
-        clip(c0, 0, size-2); when c0 clamps (delta = c0-base = +-1) the
-        sample's corner weights land on shifted slots — remap them so the
-        packed path matches :func:`grid_sample_3d` exactly, including
-        zeros-mode border masking.
-        """
-        base = jnp.clip(c0, 0, size - 2)
-        delta = c0 - base  # in {-1, 0, +1...}
-        if padding_mode == "zeros":
-            in0 = (c0 >= 0) & (c0 <= size - 1)
-            in1 = (c0 + 1 >= 0) & (c0 + 1 <= size - 1)
-            w0_, w1_ = w0_ * in0, w1_ * in1
-        s0 = jnp.where(delta == 0, w0_, jnp.where(delta == -1, w1_, 0.0))
-        s1 = jnp.where(delta == 0, w1_, jnp.where(delta == 1, w0_, 0.0))
-        return base.astype(jnp.int32), s0, s1
-
-    xi, sx0, sx1 = slot_weights(x0, wx0, wx1, w)
-    yi, sy0, sy1 = slot_weights(y0, wy0, wy1, h)
-    # per-slot weights [B,M,4] in packed order (y0x0, y0x1, y1x0, y1x1)
-    wxy = jnp.stack([sy0 * sx0, sy0 * sx1, sy1 * sx0, sy1 * sx1], axis=-1)
-
-    m = coords.shape[1]
-
-    if d == 1:
-        # flagship fast path (triplane_depth=1): both z corners clip to the
-        # single depth slice, so the two gathers would fetch IDENTICAL rows.
-        # One gather with the combined z weight — exactly equivalent, and
-        # gathers are the transaction-bound unit on TPU.
-        if padding_mode == "zeros":
-            wz = wz0 * ((z0 >= 0) & (z0 <= 0)) + wz1 * ((z0 + 1 >= 0) & (z0 + 1 <= 0))
-        else:
-            wz = jnp.ones_like(wz0)  # border: coords pre-clamped, wz0+wz1=1
-        idx = yi * w + xi
-        rows = _gather_rows(packed, idx)
-        vals = rows.reshape(b, m, 4, c)
-        wgt = wxy * wz[..., None]
-        return jnp.sum(vals * wgt[..., None].astype(vals.dtype), axis=2)
-
-    def z_corner(zc, wz):
-        zi = jnp.clip(zc, 0, d - 1).astype(jnp.int32)
-        idx = (zi * h + yi) * w + xi
-        rows = _gather_rows(packed, idx)
-        vals = rows.reshape(b, m, 4, c)
-        wgt = wxy * wz[..., None]
-        if padding_mode == "zeros":
-            wgt = wgt * ((zc >= 0) & (zc <= d - 1))[..., None]
-        return jnp.sum(vals * wgt[..., None].astype(vals.dtype), axis=2)
-
-    return z_corner(z0, wz0) + z_corner(z0 + 1, wz1)
+    packed = pack_xy_cells(features)
+    return grid_sample_3d_prepacked4(packed, (d, h, w, c), coords,
+                                     align_corners, padding_mode)
 
 
 def grid_sample_3d_packed8(

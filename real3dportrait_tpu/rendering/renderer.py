@@ -26,7 +26,10 @@ import jax.numpy as jnp
 
 from real3dportrait_tpu.ops.grid_sample import (
     grid_sample_2d,
+    grid_sample_2d_prepacked,
     grid_sample_3d_packed,
+    grid_sample_3d_prepacked4,
+    pack_xy_cells,
 )
 from real3dportrait_tpu.rendering import math_utils
 from real3dportrait_tpu.rendering.ray_marcher import march_rays
@@ -103,6 +106,49 @@ def sample_features(
     if planes.ndim == 6:
         return sample_from_trigrids(planes, coordinates, box_warp)
     raise ValueError(f"planes must be rank 5 or 6, got {planes.ndim}")
+
+
+def make_packed_sampler(planes: jnp.ndarray, box_warp: float):
+    """Prepack the 2x2 xy cells of all three planes ONCE and return a
+    ``coords [B,M,3] -> features [B,3,M,C]`` sampler.
+
+    Used by :func:`render_rays`, where the coarse and fine passes sample
+    ~1.5M points each from the same per-frame planes: sharing one pack
+    across both passes halves the pack traffic, and wide-row gathers are
+    the fast path on the transaction-bound TPU gather unit. Exactly
+    equivalent to :func:`sample_features` (both delegate to the same
+    packed sampling semantics, tested against the unpacked torch oracle).
+    """
+    small = planes.shape[-3] < 2 or planes.shape[-2] < 2
+    if planes.ndim == 5 and not small:
+        b, k, h, w, c = planes.shape
+        packs = [pack_xy_cells(planes[:, i]) for i in range(k)]
+
+        def sample2d(coordinates):
+            coords = (2.0 / box_warp) * coordinates
+            outs = []
+            for i, perm in enumerate(_PLANE_PERMS):
+                uv = coords[..., jnp.array(perm[:2])]
+                outs.append(grid_sample_2d_prepacked(packs[i], (h, w, c), uv))
+            return jnp.stack(outs, axis=1)
+
+        return sample2d
+    if planes.ndim == 6 and not small:
+        b, k, d, h, w, c = planes.shape
+        packs = [pack_xy_cells(planes[:, i]) for i in range(k)]
+
+        def sample3d(coordinates):
+            coords = (2.0 / box_warp) * coordinates
+            outs = []
+            for i, perm in enumerate(_PLANE_PERMS):
+                xyz = coords[..., jnp.array(perm)]
+                outs.append(
+                    grid_sample_3d_prepacked4(packs[i], (d, h, w, c), xyz)
+                )
+            return jnp.stack(outs, axis=1)
+
+        return sample3d
+    return lambda coordinates: sample_features(planes, coordinates, box_warp)
 
 
 def run_model(
@@ -300,8 +346,8 @@ def render_rays(
     b, m, _ = ray_origins.shape
     keys = jax.random.split(key, 4) if key is not None else (None,) * 4
 
-    def sample_fn(coordinates):
-        return sample_features(planes, coordinates, options.box_warp)
+    # one shared xy-cell pack for both sampling passes
+    sample_fn = make_packed_sampler(planes, options.box_warp)
 
     if options.ray_start == "auto" or options.ray_end == "auto":
         ray_start, ray_end, is_valid = math_utils.get_ray_limits_box(

@@ -301,3 +301,48 @@ def test_grid_sample_3d_packed8_equivalence():
     f1 = feats[:, :1]
     assert jnp.max(jnp.abs(grid_sample_3d_packed8(f1, coords)
                            - grid_sample_3d(f1, coords))) < 1e-6
+
+
+def test_grid_sample_2d_packed_equivalence():
+    """Packed xy-cell bilinear path == reference 2D path, incl. borders and
+    both padding modes (the released flagship's depth-1 triplane fast path)."""
+    import jax
+    import jax.numpy as jnp
+
+    from real3dportrait_tpu.ops.grid_sample import (
+        grid_sample_2d, grid_sample_2d_packed,
+    )
+
+    k = jax.random.PRNGKey(11)
+    feats = jax.random.normal(k, (2, 9, 11, 5))
+    coords = jax.random.uniform(jax.random.PRNGKey(12), (2, 400, 2),
+                                minval=-1.3, maxval=1.3)
+    edge = jnp.array([[[-1.0, -1.0], [1.0, 1.0], [-1.0, 1.0],
+                       [0.999, -0.999]]])
+    coords = jnp.concatenate([coords, jnp.tile(edge, (2, 1, 1))], axis=1)
+    for pm in ("zeros", "border"):
+        for ac in (False, True):
+            want = grid_sample_2d(feats, coords, align_corners=ac,
+                                  padding_mode=pm)
+            got = grid_sample_2d_packed(feats, coords, align_corners=ac,
+                                        padding_mode=pm)
+            assert jnp.max(jnp.abs(want - got)) < 1e-5, (pm, ac)
+
+
+def test_make_packed_sampler_matches_sample_features():
+    """The shared-pack sampler used by render_rays reproduces
+    sample_features for both triplane (rank-5) and trigrid (rank-6) layouts."""
+    import jax
+    import jax.numpy as jnp
+
+    from real3dportrait_tpu.rendering.renderer import (
+        make_packed_sampler, sample_features,
+    )
+
+    coords = jax.random.uniform(jax.random.PRNGKey(1), (2, 300, 3),
+                                minval=-1.2, maxval=1.2)
+    for shape in ((2, 3, 8, 8, 6), (2, 3, 4, 8, 8, 6), (2, 3, 1, 8, 8, 6)):
+        planes = jax.random.normal(jax.random.PRNGKey(0), shape)
+        want = sample_features(planes, coords, 1.0)
+        got = make_packed_sampler(planes, 1.0)(coords)
+        assert jnp.max(jnp.abs(want - got)) < 1e-5, shape

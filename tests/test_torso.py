@@ -251,3 +251,41 @@ def test_conv3d_via_2d_matches_nn_conv():
         assert got.shape == want.shape
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.slow
+def test_sr_fuse_bf16_close_to_fp32():
+    """bf16 fusion convs in the SR-with-ref head stay within a small relative
+    bound of the fp32 path on the tiny flagship (params shared; only the
+    compute dtype of the fuse/bg/head-torso convs differs)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from real3dportrait_tpu.models.img2plane import OSAvatarSECCImg2PlaneTorso
+
+    kw = dict(
+        triplane_hid_dim=8, triplane_depth=2, neural_rendering_resolution=16,
+        final_resolution=64, sr_channel0=16, sr_channel1=8, sr_num_fp16_res=0,
+        num_samples_coarse=4, num_samples_fine=4, torso_scale="tiny",
+    )
+    m32 = OSAvatarSECCImg2PlaneTorso(**kw)
+    m16 = OSAvatarSECCImg2PlaneTorso(sr_fuse_bf16=True, **kw)
+    k = jax.random.PRNGKey(0)
+    img = jax.random.uniform(k, (1, 64, 64, 3), minval=-1, maxval=1)
+    cam = jnp.concatenate([jnp.eye(4).reshape(1, 16),
+                           jnp.eye(3).reshape(1, 9)], -1)
+    secc = jax.random.uniform(jax.random.PRNGKey(1), (1, 64, 64, 9))
+    seg = jnp.zeros((1, 64, 64, 6)).at[..., 4].set(1.0)
+    cond = {
+        "ref_torso_img": img, "bg_img": img, "segmap": seg,
+        "kp_src": jnp.zeros((1, 68, 3)), "kp_drv": jnp.zeros((1, 68, 3)),
+    }
+    v = jax.jit(m32.init)(
+        {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1)},
+        img, cam, cond, secc=secc,
+    )
+    a = np.asarray(m32.apply(v, img, cam, cond, secc=secc)["image"], np.float32)
+    b = np.asarray(m16.apply(v, img, cam, cond, secc=secc)["image"], np.float32)
+    scale = np.abs(a).max() + 1e-6
+    assert np.abs(a - b).max() / scale < 0.04, (np.abs(a - b).max(), scale)
