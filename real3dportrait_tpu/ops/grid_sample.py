@@ -41,14 +41,22 @@ def _source_coord(
 def _gather_rows(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     """Batched row gather: table [B,R,C], idx [B,M] int32 -> [B,M,C].
 
-    For B == 1 this is a plain ``take_along_axis``. For B > 1 the batch is
-    FLATTENED into the gather axis (one rank-1 gather over a [B*R, C] table)
-    — XLA:TPU lowers the batched gather an order of magnitude slower than the
-    single-axis one (measured: b=4 trigrid sampling 3.4x slower PER ITEM than
-    b=1 via take_along_axis; linear via the flattened form)."""
+    For B == 1 this is a plain ``take_along_axis``. For small B the batch is
+    UNROLLED into B independent single-table gathers: gather throughput on
+    TPU falls off a cliff once the operand outgrows VMEM (measured: a 16 MB
+    packed plane gathers at ~43 GB/s; the same gather against the 67 MB
+    B=4-flattened table runs ~9x slower PER ITEM), so each gather must keep
+    its own <=VMEM-sized table. Both the flattened form (one rank-1 gather
+    over [B*R, C]) and the native batched ``take_along_axis`` share the big
+    operand and hit the cliff. Large B falls back to the flattened form
+    (the unroll would bloat the program)."""
     b, r, c = table.shape
     if b == 1:
         return jnp.take_along_axis(table, idx[..., None], axis=1)
+    if b <= 16:
+        return jnp.stack(
+            [jnp.take(table[i], idx[i], axis=0) for i in range(b)], axis=0
+        )
     m = idx.shape[1]
     flat_idx = (idx + jnp.arange(b, dtype=idx.dtype)[:, None] * r).reshape(-1)
     return jnp.take(table.reshape(b * r, c), flat_idx, axis=0).reshape(b, m, c)
