@@ -188,6 +188,63 @@ def rasterize_sorted(
     return {"mask": masks, "depth": depths, "image": images}
 
 
+def _candidate_keys_lane_major(
+    face_uvz: jnp.ndarray,  # [F,3,3] (u, v, z) per vertex
+    k: int,
+    image_size: int,
+    znear: float,
+    zfar: float,
+    depth_bits: int,
+    depth_scale: float,
+) -> jnp.ndarray:
+    """Packed (pixel, depth) int32 keys for every candidate, [K*K*F].
+
+    Lane-major layout: all per-candidate math runs on [K², F] arrays so the
+    large face axis sits on the 128-lane dimension (the [F,K,K] layout of
+    :func:`_rasterize_chunk` uses K=2..16 of 128 lanes — up to 64x wasted
+    VPU/HBM width, measured as the second-largest raster phase). Only the
+    keys are materialized; winners re-derive barycentrics/depth later from
+    (face, pixel), which is cheaper than gathering 1.2M-row side tables.
+    """
+    face_uv = face_uvz[..., :2]
+    face_z = face_uvz[..., 2]
+    v0, v1, v2 = face_uv[:, 0], face_uv[:, 1], face_uv[:, 2]
+    bb_min = jnp.floor(jnp.min(face_uv, axis=1))  # [F,2]
+    offs = jnp.arange(k, dtype=jnp.float32)
+    dy, dx = jnp.meshgrid(offs, offs, indexing="ij")
+    dx = dx.reshape(-1, 1)  # [K²,1]
+    dy = dy.reshape(-1, 1)
+    px = bb_min[None, :, 0] + dx + 0.5  # [K²,F]
+    py = bb_min[None, :, 1] + dy + 0.5
+
+    def edge(ax, ay, bx, by, cx, cy):
+        return (cx - ax) * (by - ay) - (cy - ay) * (bx - ax)
+
+    area = edge(v0[:, 0], v0[:, 1], v1[:, 0], v1[:, 1],
+                v2[:, 0], v2[:, 1])[None]  # [1,F]
+    w0 = edge(v1[None, :, 0], v1[None, :, 1], v2[None, :, 0], v2[None, :, 1],
+              px, py)
+    w1 = edge(v2[None, :, 0], v2[None, :, 1], v0[None, :, 0], v0[None, :, 1],
+              px, py)
+    w2 = edge(v0[None, :, 0], v0[None, :, 1], v1[None, :, 0], v1[None, :, 1],
+              px, py)
+    area_safe = jnp.where(jnp.abs(area) < 1e-9, 1.0, area)
+    b0, b1, b2 = w0 / area_safe, w1 / area_safe, w2 / area_safe
+    inside = (b0 >= 0) & (b1 >= 0) & (b2 >= 0) & (jnp.abs(area) > 1e-9)
+
+    depth = (b0 * face_z[None, :, 0] + b1 * face_z[None, :, 1]
+             + b2 * face_z[None, :, 2])
+    in_bounds = (px >= 0) & (px < image_size) & (py >= 0) & (py < image_size)
+    valid = inside & in_bounds & (depth > znear) & (depth < zfar)
+
+    xi = jnp.clip(px.astype(jnp.int32), 0, image_size - 1)
+    yi = jnp.clip(py.astype(jnp.int32), 0, image_size - 1)
+    dq = jnp.clip((depth - znear) * depth_scale, 0,
+                  2**depth_bits - 1).astype(jnp.int32)
+    key = (yi * image_size + xi) * (2**depth_bits) + dq
+    return jnp.where(valid, key, jnp.int32(2**31 - 1)).reshape(-1)
+
+
 def rasterize_grouped(
     verts_cam: jnp.ndarray,
     face_groups: tuple,        # ((faces [Fi,3] int32, patch_size_i), ...)
@@ -204,6 +261,14 @@ def rasterize_grouped(
     mesh lets us bucket faces ONCE by a projected-size bound (static
     groups), giving small faces a small K and only the rare large faces a
     big one — ~10x fewer candidates than a uniform worst-case K.
+
+    Winner selection is scatter-free at candidate scale: sort packed
+    (pixel, depth) keys, flag per-pixel run starts, then a SECOND sort
+    compacts the ≤HW winners to the front so the final scatter writes HW
+    elements instead of one per candidate (the 1.2M-update drop-scatter was
+    the largest raster phase at ~12 ms/frame on v5e; the compaction sort
+    costs ~2 ms). Winner barycentrics/depth are recomputed from (face,
+    pixel) instead of gathered from candidate-sized side tables.
     """
     b = verts_cam.shape[0]
     hw = image_size * image_size
@@ -218,9 +283,10 @@ def rasterize_grouped(
 
     uv, z = project_to_screen(verts_cam, focal, center, image_size)
 
-    # static candidate->face map across all groups
+    # static candidate->face map across all groups (cell-major per group:
+    # candidate id = cell * F_i + face, matching the [K²,F] key layout)
     cand_face_np = np.concatenate([
-        np.repeat(np.arange(f.shape[0]), k * k) + off
+        np.tile(np.arange(f.shape[0]), k * k) + off
         for (f, k), off in zip(
             face_groups,
             np.cumsum([0] + [f.shape[0] for f, _ in face_groups[:-1]]),
@@ -229,26 +295,29 @@ def rasterize_grouped(
     all_faces = jnp.concatenate([f for f, _ in face_groups], axis=0)
     cand_face = jnp.asarray(cand_face_np, jnp.int32)
 
+    pix_y = (jnp.arange(hw, dtype=jnp.int32) // image_size
+             ).astype(jnp.float32) + 0.5
+    pix_x = (jnp.arange(hw, dtype=jnp.int32) % image_size
+             ).astype(jnp.float32) + 0.5
+
+    group_offsets = np.cumsum([0] + [f.shape[0] for f, _ in face_groups])
+
     def one_batch(uv_b, z_b, attr_b):
-        keys, barys, depths = [], [], []
-        for grp_faces, k in face_groups:
-            idx, depth, bary, valid = _rasterize_chunk(
-                uv_b[grp_faces], z_b[grp_faces], k, image_size, znear, zfar
+        # one packed per-face table [F,3,3+C] gathered ONCE per frame; the
+        # key phase slices it per group and the winner phase gathers whole
+        # rows — 340k gather rows/frame vs 860k with per-phase gathers
+        vert_full = jnp.concatenate(
+            [uv_b, z_b[..., None], attr_b], axis=-1
+        )                                           # [N, 3+C]
+        ftab = vert_full[all_faces]                 # [F, 3, 3+C]
+        keys = [
+            _candidate_keys_lane_major(
+                ftab[group_offsets[i]:group_offsets[i + 1], :, :3],
+                k, image_size, znear, zfar, depth_bits, depth_scale,
             )
-            dq = jnp.clip(
-                (depth.reshape(-1) - znear) * depth_scale, 0, 2**depth_bits - 1
-            ).astype(jnp.int32)
-            key = jnp.where(
-                valid.reshape(-1),
-                idx.reshape(-1) * (2**depth_bits) + dq,
-                jnp.int32(2**31 - 1),
-            )
-            keys.append(key)
-            barys.append(bary.reshape(-1, 3))
-            depths.append(depth.reshape(-1))
+            for i, (_, k) in enumerate(face_groups)
+        ]
         key = jnp.concatenate(keys)
-        bary = jnp.concatenate(barys)
-        depth = jnp.concatenate(depths)
 
         cand_id = jnp.arange(key.shape[0], dtype=jnp.int32)
         sorted_key, sorted_cand = jax.lax.sort((key, cand_id), num_keys=1)
@@ -256,15 +325,36 @@ def rasterize_grouped(
         is_first = jnp.concatenate(
             [jnp.ones((1,), bool), sorted_pix[1:] != sorted_pix[:-1]]
         )
-        target = jnp.where(is_first & (sorted_pix < hw), sorted_pix, hw)
-        win_map = jnp.full((hw,), -1, jnp.int32).at[target].set(
-            sorted_cand, mode="drop", unique_indices=True
+        # compaction sort: winners (one per covered pixel) move to the
+        # front ordered by pixel id; everything else keys to the hw sentinel
+        key2 = jnp.where(is_first & (sorted_pix < hw), sorted_pix,
+                         jnp.int32(hw))
+        win_pix_s, win_cand_s = jax.lax.sort((key2, sorted_cand), num_keys=1)
+        win_map = jnp.full((hw,), -1, jnp.int32).at[win_pix_s[:hw]].set(
+            win_cand_s[:hw], mode="drop", unique_indices=True
         )
         covered = win_map >= 0
         wc = jnp.maximum(win_map, 0)
-        win_bary = bary[wc]
-        win_depth = depth[wc]
-        fattr = attr_b[all_faces[cand_face[wc]]]
+
+        # re-derive the winner's barycentrics at its own pixel center
+        wrow = ftab[cand_face[wc]]                  # [HW,3,3+C]
+        wuv = wrow[..., :2]                         # [HW,3,2]
+        wz = wrow[..., 2]                           # [HW,3]
+        v0, v1, v2 = wuv[:, 0], wuv[:, 1], wuv[:, 2]
+
+        def edge(a, bq, px, py):
+            return ((px - a[:, 0]) * (bq[:, 1] - a[:, 1])
+                    - (py - a[:, 1]) * (bq[:, 0] - a[:, 0]))
+
+        area = edge(v0, v1, v2[:, 0], v2[:, 1])
+        area_safe = jnp.where(jnp.abs(area) < 1e-9, 1.0, area)
+        b0 = edge(v1, v2, pix_x, pix_y) / area_safe
+        b1 = edge(v2, v0, pix_x, pix_y) / area_safe
+        b2 = edge(v0, v1, pix_x, pix_y) / area_safe
+        win_depth = b0 * wz[:, 0] + b1 * wz[:, 1] + b2 * wz[:, 2]
+        win_bary = jnp.stack([b0, b1, b2], axis=-1)
+
+        fattr = wrow[..., 3:]                       # [HW,3,C]
         pix_attr = jnp.einsum("pv,pvc->pc", win_bary, fattr)
         m = covered.astype(jnp.float32)
         return (

@@ -1,0 +1,81 @@
+"""Component-budget profiler for the flagship frame on the real chip.
+
+Times each slice of the per-frame graph in isolation (fetch-synced — see
+BASELINE.md "Measurement discipline"): SECC raster, plane backbone, the two
+sampling passes, decode/merge/march, MFE, WarpGenerator, SR fusion head.
+
+Usage: python tools/profile_frame.py [slice ...]
+  slices: secc frame mfe warpgen sr sample march  (default: secc frame)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, HERE)
+
+
+def timeit(fn, *args, n=10, warmup=2, label=""):
+    import jax
+
+    reduce = jax.jit(lambda x: sum(v.sum() for v in jax.tree_util.tree_leaves(x)))
+
+    def sync(x):
+        return float(reduce(x))
+
+    out = fn(*args)
+    sync(out)
+    for _ in range(warmup):
+        fn(*args)
+    sync(out)
+    t0 = time.time()
+    for _ in range(n):
+        out = fn(*args)
+    sync(out)
+    dt = (time.time() - t0) / n * 1000
+    print(f"{label:40s} {dt:8.2f} ms")
+    return dt
+
+
+def main():
+    which = set(sys.argv[1:]) or {"secc", "frame"}
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    import __graft_entry__ as ge
+
+    if "secc" in which:
+        from real3dportrait_tpu.geometry import synthetic_bfm
+        from real3dportrait_tpu.geometry.secc_renderer import SECCRenderer
+
+        assets = synthetic_bfm(n_vertices=35709)
+        rng = np.random.RandomState(0)
+        res = int(os.environ.get("PROF_SECC_RES", "256"))
+        for fb in (8, 16):
+            renderer = SECCRenderer(assets, rasterize_size=res,
+                                    output_resolution=512)
+            ident = jnp.asarray(np.tile(rng.randn(1, 80).astype(np.float32) * 0.1,
+                                        (fb, 1)))
+            exps = jnp.asarray(rng.randn(fb, 64).astype(np.float32) * 0.1)
+            euler = jnp.zeros((fb, 3), jnp.float32)
+            trans = jnp.zeros((fb, 3), jnp.float32)
+            render = jax.jit(lambda i, e, u, t: renderer.render(i, e, u, t)[1])
+            dt = timeit(render, ident, exps, euler, trans,
+                        label=f"SECC raster fb={fb} res={res} (batch)")
+            print(f"{'':40s} {dt / fb:8.2f} ms/frame")
+
+    if "frame" in which:
+        frame_step, (variables, cam, secc, cano, cond) = ge._flagship(tiny=False)
+        step = jax.jit(frame_step)
+        fpc = getattr(frame_step, "frames_per_call", 1)
+        dt = timeit(step, variables, cam, secc, cano, cond,
+                    label=f"frame_step b={fpc}")
+        print(f"{'':40s} {dt / fpc:8.2f} ms/frame")
+
+
+if __name__ == "__main__":
+    main()
