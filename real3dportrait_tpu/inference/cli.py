@@ -45,8 +45,14 @@ def load_wav(path: str):
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--src_img", required=True)
-    p.add_argument("--drv_aud", required=True, help="16kHz wav or .npy features")
-    p.add_argument("--drv_pose", default="static", help="'static' or .npy (euler,trans)")
+    p.add_argument("--drv_aud", required=True,
+                   help="16kHz wav, .npy (HuBERT features or a motion-coeff "
+                        "dict), or .mp4 (video-driven expression, "
+                        "`real3d_infer.py:227-228`)")
+    p.add_argument("--drv_pose", default="static",
+                   help="'static', .npy coeff dict (euler,trans), or .mp4 "
+                        "(pose fit from a driving video, "
+                        "`real3d_infer.py:286-288`)")
     p.add_argument("--map_to_init_pose", default="True",
                    help="offset the driving pose so frame 0 matches the source"
                         " (`real3d_infer.py:598`)")
@@ -58,7 +64,19 @@ def main():
     p.add_argument("--bfm_dir", default="")
     p.add_argument("--hubert_path", default="")
     p.add_argument("--temperature", type=float, default=0.2)
-    p.add_argument("--mouth_amp", type=float, default=0.4)
+    p.add_argument("--mouth_amp", type=float, default=0.45)
+    p.add_argument("--blink_mode", default="period", choices=["period", "none"],
+                   help="periodic eyelid edits on the SECC maps "
+                        "(`real3d_infer.py:594`)")
+    p.add_argument("--head_torso_threshold", type=float, default=None,
+                   help="0.1~1.0; turn up if the hair is translucent "
+                        "(-> htbsr_head_threshold, `real3d_infer.py:159-160`)")
+    p.add_argument("--min_face_area_percent", type=float, default=0.2,
+                   help="crop the source so the face covers at least this "
+                        "fraction (`real3d_infer.py:600`)")
+    p.add_argument("--seed", type=int, default=None,
+                   help="sampling seed; default = time-derived "
+                        "(`real3d_infer.py:599`)")
     p.add_argument("--fps", type=int, default=25)
     p.add_argument("--mock_weights", action="store_true",
                    help="random-init models (no checkpoints available)")
@@ -83,7 +101,12 @@ def main():
     cfg = cfg.replace(
         map_to_init_pose=args.map_to_init_pose in ("True", "true", "1", True)
     )
+    if args.head_torso_threshold is not None:
+        cfg = cfg.replace(htbsr_head_threshold=args.head_torso_threshold)
 
+    import time
+
+    seed = args.seed if args.seed is not None else int(time.time()) % (2**31)
     pipe = Real3DPortraitPipeline(
         cfg=cfg,
         mock_weights=args.mock_weights or not (args.a2m_ckpt and args.s2v_ckpt),
@@ -92,28 +115,46 @@ def main():
         bfm_dir=args.bfm_dir or None,
         use_torso=not args.head_only,
         hubert_path=args.hubert_path or None,
+        seed=seed,
     )
 
     src = load_image(args.src_img)
-    wav, hubert = None, None
-    if args.drv_aud.endswith(".npy"):
-        hubert = np.load(args.drv_aud).astype(np.float32)  # precomputed features
+    wav, hubert, drv_motion = None, None, None
+    if args.drv_aud.endswith(".mp4"):
+        # video-driven expression: 3DMM fit over the driving video
+        drv_motion = pipe.motion_from_video(args.drv_aud)
+        print(f"| extracted {len(drv_motion['exp'])} exp frames from {args.drv_aud}")
+    elif args.drv_aud.endswith(".npy"):
+        from real3dportrait_tpu.inference.infer_utils import load_motion_coeff_npy
+
+        drv_motion = load_motion_coeff_npy(args.drv_aud)
+        if drv_motion is None:  # plain array: precomputed HuBERT features
+            hubert = np.load(args.drv_aud).astype(np.float32)
     else:
         wav = load_wav(args.drv_aud)
     pose = None
     if args.drv_pose not in ("", "static"):
-        pose_arr = np.load(args.drv_pose, allow_pickle=True)
-        if isinstance(pose_arr, np.ndarray) and pose_arr.dtype == object:
-            pose_arr = pose_arr.item()
-        pose = (np.asarray(pose_arr["euler"]), np.asarray(pose_arr["trans"]))
+        if args.drv_pose.endswith(".mp4"):
+            pose_coeffs = pipe.motion_from_video(args.drv_pose)
+            pose = (np.asarray(pose_coeffs["euler"]),
+                    np.asarray(pose_coeffs["trans"]))
+            print(f"| extracted {len(pose[0])} pose frames from {args.drv_pose}")
+        else:
+            pose_arr = np.load(args.drv_pose, allow_pickle=True)
+            if isinstance(pose_arr, np.ndarray) and pose_arr.dtype == object:
+                pose_arr = pose_arr.item()
+            pose = (np.asarray(pose_arr["euler"]), np.asarray(pose_arr["trans"]))
     bg = load_image(args.bg_img) if args.bg_img else None
 
     frames = pipe.run(
-        src, wav=wav, hubert=hubert, pose_seq=pose, bg_img=bg,
+        src, wav=wav, hubert=hubert, drv_motion=drv_motion,
+        pose_seq=pose, bg_img=bg,
         temperature=args.temperature, mouth_amp=args.mouth_amp,
         out_path=args.out_name, fps=args.fps,
         out_mode=args.out_mode, low_memory=args.low_memory_usage,
         frame_batch=args.frame_batch,
+        blink_mode="periodic" if args.blink_mode == "period" else "none",
+        min_face_area_percent=args.min_face_area_percent,
     )
     print(f"| wrote {len(frames)} frames -> {args.out_name}")
 

@@ -47,6 +47,47 @@ def motion_from_video_landmarks(assets, lm2d_seq: np.ndarray,
     return {"exp": exp, "euler": euler, "trans": trans, "id": fit.id}
 
 
+def motion_from_video(video_path: str, assets,
+                      landmark_extractor=None,
+                      max_frames: int | None = None,
+                      smooth: bool = True) -> dict:
+    """Driving video file -> {exp, euler, trans, id} coefficient sequences.
+
+    The video-driven mode of the reference (`real3d_infer.py:227-228` for
+    drv_aud=*.mp4, `:286-288` for drv_pose=*.mp4, both via
+    `fit_3dmm_for_a_video`): decode + resample the video to 25 fps, extract
+    per-frame 68 landmarks (pluggable; the naive box-template extractor is
+    the default since MediaPipe's runtime is not bundled), then run the
+    jitted two-phase 3DMM fit with temporal regularization.
+    """
+    from real3dportrait_tpu.preprocess.pipeline import (
+        naive_landmark_extractor,
+        resample_video,
+    )
+
+    frames = resample_video(video_path, max_frames=max_frames)
+    if len(frames) == 0:
+        raise ValueError(f"no frames decoded from {video_path}")
+    extractor = landmark_extractor or naive_landmark_extractor
+    lm2d_seq = np.asarray(extractor(frames))
+    return motion_from_video_landmarks(assets, lm2d_seq, smooth=smooth)
+
+
+def load_motion_coeff_npy(path: str) -> dict | None:
+    """Load a motion-coefficient dict from .npy if it holds one, else None.
+
+    The reference's drv_aud/.npy and drv_pose/.npy files are pickled dicts
+    with exp/euler/trans arrays (`real3d_infer.py:231-235,289-291`); a plain
+    float array is NOT a coeff dict (the repo also accepts precomputed
+    HuBERT features there).
+    """
+    arr = np.load(path, allow_pickle=True)
+    obj = arr.item() if isinstance(arr, np.ndarray) and arr.dtype == object else arr
+    if isinstance(obj, dict) and ("exp" in obj or "euler" in obj):
+        return {k: np.asarray(v) for k, v in obj.items()}
+    return None
+
+
 def map_pose_to_source(euler, trans, src_euler, src_trans,
                        z_fix: bool = True, map_to_init: bool = True):
     """Driving-pose normalization (`real3d_infer.py:300-309`).

@@ -546,11 +546,23 @@ class Real3DPortraitPipeline:
 
     # -- top level -----------------------------------------------------------
 
+    def motion_from_video(self, video_path: str,
+                          landmark_extractor=None,
+                          max_frames: int | None = None) -> dict:
+        """Fit {exp, euler, trans} from a driving video (the reference's
+        drv_aud/drv_pose=*.mp4 modes, `real3d_infer.py:227-228,286-288`)."""
+        from real3dportrait_tpu.inference.infer_utils import motion_from_video
+
+        return motion_from_video(video_path, self.assets,
+                                 landmark_extractor=landmark_extractor,
+                                 max_frames=max_frames)
+
     def run(
         self,
         src_img: np.ndarray,
         wav: np.ndarray | None = None,
         hubert: np.ndarray | None = None,
+        drv_motion: dict | None = None,       # {exp[,euler,trans]} video-driven
         src_lm2d: np.ndarray | None = None,
         pose_seq: tuple | None = None,
         bg_img: np.ndarray | None = None,
@@ -561,11 +573,17 @@ class Real3DPortraitPipeline:
         out_mode: str = "final",              # final | concat_debug
         low_memory: bool = False,
         frame_batch: int = 1,
+        blink_mode: str = "periodic",         # periodic | none
+        min_face_area_percent: float = 0.2,
     ) -> np.ndarray:
-        """Full audio-driven synthesis; returns frames [T,H,W,3] in [-1,1].
+        """Full audio- or video-driven synthesis; frames [T,H,W,3] in [-1,1].
 
-        ``low_memory``: stream frames straight into the video writer instead
-        of accumulating them (`real3d_infer.py` --low_memory_usage).
+        Driving signal precedence mirrors the reference
+        (`real3d_infer.py:200-237`): ``drv_motion`` (a coefficient dict fit
+        from a driving video or loaded from .npy) bypasses audio2motion and
+        drives the expression directly; otherwise ``wav``/``hubert`` go
+        through the VAE. ``low_memory``: stream frames straight into the
+        video writer instead of accumulating them (--low_memory_usage).
         """
         if src_lm2d is not None and src_img.ndim == 3:
             # enlarge-to-face crop (`real3d_infer.py:76,196`)
@@ -574,24 +592,32 @@ class Real3DPortraitPipeline:
             lm_px = np.asarray(src_lm2d)
             if lm_px.max() <= 1.5:  # normalized landmarks -> pixels
                 lm_px = lm_px * np.array(src_img.shape[:2][::-1])
-            src_img = crop_on_face_area(src_img, lm_px)
+            src_img = crop_on_face_area(src_img, lm_px,
+                                        min_percent=min_face_area_percent)
         coeffs = self.fit_source(src_lm2d)
-        feats, f0 = self.audio_to_features(wav, hubert)
-        exp_seq = self.audio_to_motion(feats, f0, temperature=temperature,
-                                       mouth_amp=mouth_amp)
+        if drv_motion is not None:
+            exp_seq = jnp.asarray(drv_motion["exp"])
+        else:
+            feats, f0 = self.audio_to_features(wav, hubert)
+            # sampling key derived from the pipeline seed (`--seed`,
+            # `real3d_infer.py:599`: seeds the VAE noise draw)
+            self.rng, sample_key = jax.random.split(self.rng)
+            exp_seq = self.audio_to_motion(feats, f0, temperature=temperature,
+                                           mouth_amp=mouth_amp, key=sample_key)
         debug = out_mode == "concat_debug"
         if low_memory and out_path:
             writer = StreamingVideoWriter(out_path, fps=fps)
             frames = self.synthesize(
                 src_img, exp_seq, coeffs, pose_seq=pose_seq, bg_img=bg_img,
                 debug_mode=debug, stream_only=True, frame_batch=frame_batch,
+                blink_mode=blink_mode,
                 callback=lambda i, f: writer.append(f),
             )
             writer.close()
             return frames
         frames = self.synthesize(src_img, exp_seq, coeffs, pose_seq=pose_seq,
                                  bg_img=bg_img, debug_mode=debug,
-                                 frame_batch=frame_batch)
+                                 frame_batch=frame_batch, blink_mode=blink_mode)
         if out_path:
             write_video(frames, out_path, fps=fps, wav=wav)
         return frames

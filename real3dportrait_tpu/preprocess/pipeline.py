@@ -105,6 +105,58 @@ def segment_frames(frames: np.ndarray,
     }
 
 
+# --- landmarks ----------------------------------------------------------------
+
+
+def _neutral_lm_template(bfm_dir: str | None = None) -> np.ndarray:
+    """Canonical 68-landmark layout, unit-normalized to its own bbox.
+
+    Reconstructed once from the (possibly synthetic) BFM at zero
+    coefficients; used by the naive extractor to place landmarks inside a
+    detected face box.
+    """
+    import jax.numpy as jnp
+
+    from real3dportrait_tpu.geometry import face3d_helper, load_or_synthetic_bfm
+
+    assets = load_or_synthetic_bfm(bfm_dir)
+    lm = np.asarray(face3d_helper.reconstruct_lm2d(
+        assets, jnp.zeros((1, 80)), jnp.zeros((1, 64)),
+        jnp.zeros((1, 3)), jnp.zeros((1, 3))))[0]  # [68,2] in [0,1]
+    lo, hi = lm.min(0), lm.max(0)
+    return (lm - lo) / np.maximum(hi - lo, 1e-6)
+
+
+def naive_landmark_extractor(frames: np.ndarray,
+                             bfm_dir: str | None = None) -> np.ndarray:
+    """[T,H,W,3] uint8 -> [T,68,2] normalized landmarks.
+
+    Dependency-free stand-in for the MediaPipe face-landmarker
+    (`data_gen/utils/process_video/extract_lm2d.py` in the reference, whose
+    native runtime is not in this image): per-frame face bounding box from
+    the segmentation prior, with the canonical BFM 68-landmark template
+    placed inside it. Landmarks therefore track head translation/scale only
+    (no expression) — enough to drive the 3DMM pose/exp fit mechanics;
+    swap in a real extractor via the ``landmark_extractor`` plug points.
+    """
+    h, w = frames.shape[1:3]
+    segs = naive_person_segmenter(frames)
+    template = _neutral_lm_template(bfm_dir)
+    out = np.zeros((len(frames), 68, 2), np.float32)
+    prev_box = (0.3 * w, 0.2 * h, 0.7 * w, 0.6 * h)  # fallback center box
+    for t in range(len(frames)):
+        ys, xs = np.nonzero(segs[t] == 3)
+        if len(xs) > 16:
+            box = (xs.min(), ys.min(), xs.max(), ys.max())
+            prev_box = box
+        else:
+            box = prev_box
+        x0, y0, x1, y1 = box
+        lm = template * np.array([max(x1 - x0, 4), max(y1 - y0, 4)]) + np.array([x0, y0])
+        out[t] = lm / np.array([w, h])
+    return out
+
+
 # --- audio --------------------------------------------------------------------
 
 

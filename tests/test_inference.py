@@ -157,6 +157,100 @@ def test_pipeline_frame_batched(pipe):
     assert fast5.shape == (12, 64, 64, 3)
 
 
+def _write_test_mp4(path: str, t: int = 12, size: int = 64) -> bool:
+    """Synthetic driving video: a person-ish blob whose face region drifts
+    horizontally. Returns False if no cv2 video backend is available."""
+    import cv2
+
+    vw = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), 25, (size, size))
+    if not vw.isOpened():
+        return False
+    for i in range(t):
+        frame = np.zeros((size, size, 3), np.uint8)
+        cx = size // 2 + int(6 * np.sin(2 * np.pi * i / t))
+        # face blob in the face band (0.15..0.55 of height), body below
+        cv2.circle(frame, (cx, int(size * 0.35)), size // 6, (200, 170, 150), -1)
+        cv2.rectangle(frame, (cx - size // 4, int(size * 0.6)),
+                      (cx + size // 4, size - 1), (90, 90, 160), -1)
+        vw.write(frame)
+    vw.release()
+    return True
+
+
+def test_video_driven(pipe, tmp_path):
+    """drv_aud=*.mp4 mode: exp fit from a driving video drives the synthesis
+    directly (`real3d_infer.py:227-228`), pose from a second driving video
+    (`real3d_infer.py:286-288`)."""
+    vid = str(tmp_path / "drv.mp4")
+    if not _write_test_mp4(vid):
+        pytest.skip("no cv2 video encoder in this image")
+
+    motion = pipe.motion_from_video(vid, max_frames=12)
+    assert motion["exp"].shape[1] == 64
+    assert motion["euler"].shape == motion["trans"].shape == (motion["exp"].shape[0], 3)
+    t = motion["exp"].shape[0]
+    assert t >= 8
+    # the drifting face must induce a non-constant fitted pose
+    assert float(np.std(np.asarray(motion["trans"]), axis=0).max()) > 1e-4
+
+    rng = np.random.RandomState(4)
+    src = rng.uniform(-1, 1, (64, 64, 3)).astype(np.float32)
+    frames = pipe.run(
+        src,
+        drv_motion={k: np.asarray(v) for k, v in motion.items()},
+        pose_seq=(np.asarray(motion["euler"]), np.asarray(motion["trans"])),
+        blink_mode="none",
+    )
+    assert frames.shape == (t, 64, 64, 3)
+    assert np.isfinite(frames).all()
+
+
+def test_motion_coeff_npy_detection(tmp_path):
+    """drv_aud=*.npy holding a coeff dict is detected as video-style motion;
+    a plain float array is treated as precomputed audio features
+    (`real3d_infer.py:231-235`)."""
+    from real3dportrait_tpu.inference.infer_utils import load_motion_coeff_npy
+
+    coeffs = {"exp": np.zeros((5, 64), np.float32),
+              "euler": np.zeros((5, 3), np.float32),
+              "trans": np.zeros((5, 3), np.float32)}
+    p1 = str(tmp_path / "motion.npy")
+    np.save(p1, coeffs, allow_pickle=True)
+    out = load_motion_coeff_npy(p1)
+    assert out is not None and out["exp"].shape == (5, 64)
+
+    p2 = str(tmp_path / "hubert.npy")
+    np.save(p2, np.zeros((10, 1024), np.float32))
+    assert load_motion_coeff_npy(p2) is None
+
+
+def test_cli_video_driven_smoke(tmp_path, monkeypatch):
+    """End-to-end CLI run with an mp4 driver + reference knobs
+    (`real3d_infer.py:592-601`)."""
+    import sys
+
+    vid = str(tmp_path / "drv.mp4")
+    if not _write_test_mp4(vid):
+        pytest.skip("no cv2 video encoder in this image")
+    src_p = str(tmp_path / "src.npy")
+    np.save(src_p, np.random.RandomState(0).uniform(0, 255, (64, 64, 3)).astype(np.uint8))
+    out_p = str(tmp_path / "out.mp4")
+    tiny_overrides = ",".join(f"{k}={v}" for k, v in TINY_CFG.to_dict().items()
+                              if k != "audio_type")
+    argv = ["cli", "--src_img", src_p, "--drv_aud", vid, "--drv_pose", vid,
+            "--out_name", out_p, "--mock_weights", "--blink_mode", "none",
+            "--head_torso_threshold", "0.8", "--min_face_area_percent", "0.2",
+            "--seed", "0", "--hparams", tiny_overrides]
+    monkeypatch.setattr(sys, "argv", argv)
+    from real3dportrait_tpu.inference.cli import main as cli_main
+
+    cli_main()
+    import os
+
+    assert (os.path.isfile(out_p) or os.path.isfile(out_p + ".npy")
+            or os.path.isfile(out_p + ".raw"))
+
+
 def test_map_pose_to_source():
     """z-fix + map-to-init-pose (`real3d_infer.py:300-309`)."""
     import numpy as np

@@ -29,8 +29,8 @@ def timeit(fn, *args, n=10, warmup=2, label=""):
     out = fn(*args)
     sync(out)
     for _ in range(warmup):
-        fn(*args)
-    sync(out)
+        out = fn(*args)
+    sync(out)  # drains the last warmup dispatch (in-order queue)
     t0 = time.time()
     for _ in range(n):
         out = fn(*args)
