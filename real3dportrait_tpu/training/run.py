@@ -21,10 +21,15 @@ def main():
     args = parser.parse_args()
 
     from real3dportrait_tpu.config import load_config
+    from real3dportrait_tpu.parallel import maybe_initialize_distributed
     from real3dportrait_tpu.training.tasks.base_task import resolve_task
     from real3dportrait_tpu.training.trainer import Trainer
 
     cfg = load_config(args.config, overrides=args.hparams)
+    # multi-host launch: JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES /
+    # JAX_PROCESS_ID env (or the matching cfg keys) connect this process to
+    # the pod before any other jax call (`utils/commons/trainer.py:579-610`)
+    maybe_initialize_distributed(cfg)
     work_dir = cfg.get("work_dir") or os.path.join(
         args.work_dir_root, args.exp_name or "default"
     )

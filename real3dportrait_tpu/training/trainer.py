@@ -20,7 +20,13 @@ import jax
 import numpy as np
 
 from real3dportrait_tpu.config import FrozenConfig
-from real3dportrait_tpu.parallel import make_mesh, replicate_to_mesh, shard_batch
+from real3dportrait_tpu.parallel import (
+    is_main_process,
+    make_mesh,
+    maybe_initialize_distributed,
+    replicate_to_mesh,
+    shard_global_batch,
+)
 from real3dportrait_tpu.training import checkpoint as ckpt
 from real3dportrait_tpu.training.train_state import TrainState
 
@@ -28,17 +34,21 @@ from real3dportrait_tpu.training.train_state import TrainState
 class MetricLogger:
     """JSONL metrics + stdout every ``log_interval`` (replaces TB writer)."""
 
-    def __init__(self, work_dir: str, log_interval: int = 100):
+    def __init__(self, work_dir: str, log_interval: int = 100,
+                 write_files: bool = True):
         os.makedirs(work_dir, exist_ok=True)
         self.path = os.path.join(work_dir, "metrics.jsonl")
         self.log_interval = log_interval
-        self._f = open(self.path, "a")
+        # multi-host: only rank 0 writes the JSONL (stdout keeps per-process
+        # prints so a wedged worker is still debuggable)
+        self._f = open(self.path, "a") if write_files else None
 
     def log(self, step: int, metrics: dict, prefix: str = "train"):
         rec = {"step": int(step), "prefix": prefix}
         rec.update({k: float(v) for k, v in metrics.items()})
-        self._f.write(json.dumps(rec) + "\n")
-        self._f.flush()
+        if self._f is not None:
+            self._f.write(json.dumps(rec) + "\n")
+            self._f.flush()
         msg = " ".join(f"{k}={float(v):.4g}" for k, v in list(metrics.items())[:8])
         print(f"| {prefix} step {step}: {msg}", flush=True)
 
@@ -56,9 +66,15 @@ class Trainer:
     def __init__(self, cfg: FrozenConfig, task, work_dir: str | None = None):
         self.cfg = cfg
         self.task = task
+        # multi-process bring-up FIRST: after `jax.distributed.initialize`,
+        # `jax.devices()` is the global device list and the mesh spans every
+        # host (replaces `utils/commons/trainer.py:579-610` DDP init)
+        maybe_initialize_distributed(cfg)
+        self.is_main = is_main_process()
         self.work_dir = work_dir or cfg.get("work_dir") or "checkpoints/default"
         os.makedirs(self.work_dir, exist_ok=True)
-        self.logger = MetricLogger(self.work_dir, cfg.get("tb_log_interval", 100))
+        self.logger = MetricLogger(self.work_dir, cfg.get("tb_log_interval", 100),
+                                   write_files=self.is_main)
         self.mesh = make_mesh(dict(cfg.get("mesh_shape", {"data": -1})))
         self.max_updates = int(cfg.get("max_updates", 1000))
         self.val_check_interval = int(cfg.get("val_check_interval", 2000))
@@ -67,12 +83,14 @@ class Trainer:
         self.monitor_mode = cfg.get("valid_monitor_mode", "min")
         self.monitor_key = cfg.get("valid_monitor_key", "val_loss")
         self.best_val = np.inf if self.monitor_mode == "min" else -np.inf
-        # persist the resolved config next to checkpoints (`hparams.py` flow)
-        cfg.save(os.path.join(self.work_dir, "config.yaml"))
-        if bool(cfg.get("tee_terminal_logs", True)):
+        # persist the resolved config next to checkpoints (`hparams.py` flow);
+        # all work_dir artifacts are rank-0-only in multi-host runs
+        if self.is_main:
+            cfg.save(os.path.join(self.work_dir, "config.yaml"))
+            if bool(cfg.get("save_codes", True)):
+                self._snapshot_codes()
+        if bool(cfg.get("tee_terminal_logs", True)) and self.is_main:
             self._tee_stdout()
-        if bool(cfg.get("save_codes", True)):
-            self._snapshot_codes()
 
     def _tee_stdout(self):
         """Mirror stdout/stderr to ``work_dir/terminal_logs/log_<ts>.txt``
@@ -160,7 +178,8 @@ class Trainer:
             n_sanity = int(self.cfg.get("num_sanity_val_steps", 1))
             if n_sanity > 0:
                 for i, batch in zip(range(n_sanity), self.task.val_data()):
-                    val_step(state, shard_batch(batch, self.mesh), jax.random.PRNGKey(i))
+                    val_step(state, shard_global_batch(batch, self.mesh),
+                             jax.random.PRNGKey(i))
 
             train_iter = iter(self.task.train_data())
             # step is mirrored on the host (one device_get at restore time):
@@ -174,7 +193,8 @@ class Trainer:
             while step < self.max_updates:
                 batch = next(train_iter)
                 rng, step_rng = jax.random.split(rng)
-                state, metrics = train_step(state, shard_batch(batch, self.mesh), step_rng)
+                state, metrics = train_step(
+                    state, shard_global_batch(batch, self.mesh), step_rng)
                 step += 1
                 for k, v in metrics.items():
                     meters.setdefault(k, []).append(v)
@@ -194,19 +214,23 @@ class Trainer:
 
                 if step % self.val_check_interval == 0:
                     self.run_validation(state, val_step)
-                    self.dump_val_images(state, step)
-                    ckpt.save_checkpoint(
-                        self.work_dir, step, self._to_state_dict(state),
-                        num_keep=self.num_ckpt_keep,
-                        milestone_interval=self.milestone_interval,
-                        not_save_keys=tuple(self.cfg.get("not_save_modules", []) or ()),
-                    )
+                    if self.is_main:
+                        self.dump_val_images(state, step)
+                        ckpt.save_checkpoint(
+                            self.work_dir, step, self._to_state_dict(state),
+                            num_keep=self.num_ckpt_keep,
+                            milestone_interval=self.milestone_interval,
+                            not_save_keys=tuple(
+                                self.cfg.get("not_save_modules", []) or ()),
+                        )
 
         final_step = int(jax.device_get(state.step))
-        ckpt.save_checkpoint(
-            self.work_dir, final_step, self._to_state_dict(state),
-            num_keep=self.num_ckpt_keep, milestone_interval=self.milestone_interval,
-        )
+        if self.is_main:
+            ckpt.save_checkpoint(
+                self.work_dir, final_step, self._to_state_dict(state),
+                num_keep=self.num_ckpt_keep,
+                milestone_interval=self.milestone_interval,
+            )
         return state
 
     def _to_state_dict(self, state):
@@ -240,7 +264,8 @@ class Trainer:
         metrics: dict[str, list] = {}
         max_batches = int(self.cfg.get("eval_max_batches", 10))
         for i, batch in zip(range(max_batches), self.task.val_data()):
-            m = val_step(state, shard_batch(batch, self.mesh), jax.random.PRNGKey(i))
+            m = val_step(state, shard_global_batch(batch, self.mesh),
+                         jax.random.PRNGKey(i))
             for k, v in m.items():
                 metrics.setdefault(k, []).append(float(jax.device_get(v)))
         avg = {k: float(np.mean(v)) for k, v in metrics.items()}
@@ -251,5 +276,6 @@ class Trainer:
             better = val < self.best_val if self.monitor_mode == "min" else val > self.best_val
             if better:
                 self.best_val = val
-                ckpt.save_best(self.work_dir, self._to_state_dict(state), val)
+                if self.is_main:
+                    ckpt.save_best(self.work_dir, self._to_state_dict(state), val)
         return avg
