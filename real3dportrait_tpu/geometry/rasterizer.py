@@ -367,6 +367,27 @@ def rasterize_grouped(
     return {"mask": masks, "depth": depths_img, "image": images}
 
 
+def split_faces_by_px_bound(
+    faces: np.ndarray,             # [F,3]
+    px_bound: np.ndarray,          # [F] per-face projected-extent bound (px)
+    buckets: tuple[int, ...] = (2, 3, 4, 6, 8, 16),
+) -> tuple:
+    """Bucket faces once by a per-face projected-size bound (static topology
+    => static groups): each face goes to the smallest patch size covering
+    its bound. Candidate count is the rasterizer's whole cost on TPU, so the
+    caller should compute the TIGHTEST sound bound it can."""
+    faces = np.asarray(faces)
+    groups = []
+    prev = 0.0
+    for i, k in enumerate(buckets):
+        hi = k if i < len(buckets) - 1 else np.inf
+        sel = (px_bound > prev) & (px_bound <= hi)
+        if sel.any():
+            groups.append((jnp.asarray(faces[sel], jnp.int32), k))
+        prev = k
+    return tuple(groups)
+
+
 def split_faces_by_size(
     verts_canonical: np.ndarray,   # [N,3] model-space canonical vertices
     faces: np.ndarray,             # [F,3]
@@ -377,22 +398,15 @@ def split_faces_by_size(
     buckets: tuple[int, ...] = (2, 4, 8, 16),
     margin_px: float = 1.0,
 ) -> tuple:
-    """Bucket faces once by a conservative projected-extent bound (static
-    topology => static groups): each face goes to the smallest patch size
-    that covers its maximum on-screen axis extent."""
+    """Conservative global-zmin bucketing: each face's bound assumes the
+    worst-case depth ``zmin`` (sound for bounded trans/rotation). Use
+    :func:`split_faces_by_px_bound` with a per-face bound when the pose is
+    known (the SECC zero-pose contract) — it emits far fewer candidates."""
     faces = np.asarray(faces)
     v = np.asarray(verts_canonical)[faces]              # [F,3,3]
     extent = (v.max(axis=1) - v.min(axis=1))[..., :2].max(-1)  # max xy extent
     px_bound = extent * focal / zmin * (image_size / (2 * center)) + margin_px
-    groups = []
-    prev = 0.0
-    for i, k in enumerate(buckets):
-        hi = k if i < len(buckets) - 1 else np.inf
-        sel = (px_bound > prev) & (px_bound <= hi)
-        if sel.any():
-            groups.append((jnp.asarray(faces[sel], jnp.int32), k))
-        prev = k
-    return tuple(groups)
+    return split_faces_by_px_bound(faces, px_bound, buckets)
 
 
 def rasterize(*args, method: str = "sort", **kwargs):

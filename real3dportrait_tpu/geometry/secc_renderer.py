@@ -23,8 +23,49 @@ from real3dportrait_tpu.geometry import bfm as bfm_ops
 from real3dportrait_tpu.geometry.bfm import BFMAssets
 from real3dportrait_tpu.geometry.rasterizer import (
     rasterize_grouped,
+    split_faces_by_px_bound,
     split_faces_by_size,
 )
+
+
+def zero_pose_px_bounds(
+    assets: BFMAssets,
+    faces: np.ndarray,
+    focal: float,
+    center: float,
+    image_size: int,
+    coeff_bound: float = 3.0,
+    margin_px: float = 1.0,
+) -> np.ndarray:
+    """Per-face projected-size bound under the SECC zero-pose contract.
+
+    SECC maps are always rendered at euler = trans = 0 (the reference does
+    the same — `secc_renderer.py` is only ever called with zero pose from
+    `secc_img2plane_task.py:175-188` / `real3d_infer.py:396-403`; head pose
+    enters through the EG3D camera, not the SECC render). With pose fixed,
+    the only per-frame motion is the id/exp morph, which is bounded per
+    vertex by Cauchy-Schwarz over the basis rows: |Δv_dim| <= coeff_bound *
+    (||id_base[v,dim,:]||_2 + ||exp_base[v,dim,:]||_2), sound for all
+    coefficient vectors with ||c||_2 <= coeff_bound (fitted coefficients
+    are L2-regularized well inside 3.0). This replaces the global
+    worst-case-depth bound and cuts candidates — the rasterizer's entire
+    cost is candidate count.
+    """
+    n = assets.mean_shape.size // 3
+    ms = np.asarray(assets.mean_shape).reshape(n, 3)
+    id_b = np.asarray(assets.id_base).reshape(n, 3, -1)
+    exp_b = np.asarray(assets.exp_base).reshape(n, 3, -1)
+    disp = coeff_bound * (
+        np.sqrt((id_b**2).sum(-1)) + np.sqrt((exp_b**2).sum(-1))
+    )                                                    # [N,3]
+    faces = np.asarray(faces)
+    v = ms[faces]                                        # [F,3,3]
+    d = disp[faces]                                      # [F,3,3]
+    ext = ((v + d).max(1) - (v - d).min(1))[:, :2].max(-1)
+    # camera space: z = camera_distance - shape_z (bfm.to_camera)
+    zmin_face = bfm_ops.DEFAULT_CAMERA_DISTANCE - (v[..., 2] + d[..., 2]).max(1)
+    scale = image_size / (2.0 * center)
+    return ext * focal / np.maximum(zmin_face, 1.0) * scale + margin_px
 
 
 def load_eye_free_faces(assets: BFMAssets, bfm_dir: str | None) -> jnp.ndarray:
@@ -52,6 +93,7 @@ class SECCRenderer:
         patch_size: int = 16,
         face_chunk: int = 8192,  # kept for API compat; sorted path ignores it
         output_resolution: int | None = None,
+        assume_zero_pose: bool = True,
     ):
         """``rasterize_size`` is the z-buffer resolution; ``output_resolution``
         (default: same) bilinearly upsamples the SECC/mask maps afterwards.
@@ -60,6 +102,12 @@ class SECCRenderer:
         the candidate count — the rasterizer is the end-to-end inference
         bottleneck (BASELINE.md round-1) while the SECC maps are smooth NCC
         color fields, so the upsample is visually lossless for conditioning.
+
+        ``assume_zero_pose`` (default): static face bucketing uses the tight
+        per-face zero-pose bound (:func:`zero_pose_px_bounds`) — sound for
+        the SECC contract where euler = trans = 0 always (every caller in
+        this framework and the reference). Pass False to rasterize posed
+        meshes with the conservative global-depth bound.
         """
         self.assets = assets
         self.faces = load_eye_free_faces(assets, bfm_dir)
@@ -69,12 +117,21 @@ class SECCRenderer:
         # matching `(secc - 0.5)/0.5` of the reference (`secc_renderer.py:53`)
         ncc_01 = (assets.ncc_code + 1.0) / 2.0
 
-        groups = split_faces_by_size(
-            np.asarray(assets.mean_shape).reshape(-1, 3),
-            np.asarray(self.faces),
-            focal=1015.0, center=112.0, image_size=rasterize_size,
-            buckets=(2, 4, 8, max(16, patch_size)),
-        )
+        if assume_zero_pose:
+            groups = split_faces_by_px_bound(
+                np.asarray(self.faces),
+                zero_pose_px_bounds(assets, np.asarray(self.faces),
+                                    focal=1015.0, center=112.0,
+                                    image_size=rasterize_size),
+                buckets=(2, 3, 4, 6, 8, max(16, patch_size)),
+            )
+        else:
+            groups = split_faces_by_size(
+                np.asarray(assets.mean_shape).reshape(-1, 3),
+                np.asarray(self.faces),
+                focal=1015.0, center=112.0, image_size=rasterize_size,
+                buckets=(2, 4, 8, max(16, patch_size)),
+            )
 
         def _render(id_coeff, exp_coeff, euler, trans):
             verts = bfm_ops.compute_face_vertex(assets, id_coeff, exp_coeff,

@@ -313,29 +313,6 @@ def grid_sample_3d_packed(
                                      align_corners, padding_mode)
 
 
-def grid_sample_3d_packed8(
-    features: jnp.ndarray,
-    coords: jnp.ndarray,
-    align_corners: bool = False,
-    padding_mode: str = "zeros",
-) -> jnp.ndarray:
-    """Trilinear sample with ALL 8 cell corners packed into one gather row.
-
-    One 8*C-feature row per sample (512 B at C=32 bf16 — two full vector
-    registers) instead of :func:`grid_sample_3d_packed`'s two 4*C rows:
-    same bytes, half the gather transactions, which is what the TPU gather
-    unit is bound by. Costs 8x plane memory, built per call (planes are
-    per-frame data anyway). Falls back to the 2-gather variant when any
-    dim is too small to pack.
-    """
-    b, d, h, w, c = features.shape
-    if h < 2 or w < 2 or d < 2:
-        return grid_sample_3d(features, coords, align_corners, padding_mode)
-    packed = pack_trigrid_cells(features)
-    return grid_sample_3d_prepacked(packed, (d, h, w, c), coords,
-                                    align_corners, padding_mode)
-
-
 def pack_trigrid_cells(features: jnp.ndarray) -> jnp.ndarray:
     """[B,D,H,W,C] -> [B, D*H*W, 8*C]: each row is the 2x2x2 cell rooted at
     its voxel (z-major, then y, then x). Build ONCE per frame and sample

@@ -111,6 +111,45 @@ def test_secc_renderer_btc():
     assert secc.shape == (2, 3, 32, 32, 3)
 
 
+def test_grouped_matches_sorted_on_bfm():
+    """rasterize_grouped (static size buckets + lane-major keys + compaction
+    sort + recomputed barycentrics) is equivalent to rasterize_sorted with a
+    uniform worst-case patch, on BFM meshes under representative coefficient
+    draws — incl. the tight zero-pose bucketing used by SECCRenderer."""
+    from real3dportrait_tpu.geometry import bfm as bfm_ops
+    from real3dportrait_tpu.geometry.rasterizer import (
+        rasterize_grouped, rasterize_sorted, split_faces_by_px_bound,
+    )
+    from real3dportrait_tpu.geometry.secc_renderer import zero_pose_px_bounds
+
+    assets = synthetic_bfm(n_vertices=2048, n_keypoints=68)
+    faces = np.asarray(assets.face_buf)
+    rng = np.random.RandomState(0)
+    idc = jnp.asarray(rng.randn(2, 80).astype(np.float32) * 0.5)
+    expc = jnp.asarray(rng.randn(2, 64).astype(np.float32) * 0.5)
+    verts = bfm_ops.compute_face_vertex(
+        assets, idc, expc, jnp.zeros((2, 3)), jnp.zeros((2, 3))
+    )
+    attrs = jnp.asarray(np.asarray(assets.ncc_code))
+    groups = split_faces_by_px_bound(
+        faces,
+        zero_pose_px_bounds(assets, faces, focal=1015.0, center=112.0,
+                            image_size=96),
+        buckets=(2, 3, 4, 6, 8, 16),
+    )
+    assert len(groups) > 1, "bucketing degenerated to one group"
+    a = rasterize_grouped(verts, groups, attrs, image_size=96)
+    b = rasterize_sorted(verts, jnp.asarray(faces, jnp.int32), attrs,
+                         image_size=96, patch_size=16)
+    # identical coverage: the tight per-face bound must not drop candidates
+    np.testing.assert_array_equal(np.asarray(a["mask"]), np.asarray(b["mask"]))
+    np.testing.assert_allclose(np.asarray(a["depth"]), np.asarray(b["depth"]),
+                               atol=2e-3)
+    # attributes agree except depth-quantization tie pixels
+    diff = np.abs(np.asarray(a["image"]) - np.asarray(b["image"])).max(-1)
+    assert (diff < 2e-2).mean() > 0.99
+
+
 def test_sorted_matches_scatter():
     from real3dportrait_tpu.geometry.rasterizer import rasterize_scatter, rasterize_sorted
 

@@ -62,7 +62,7 @@ def test_grid_sample_3d_border_matches_torch():
     import torch.nn.functional as F
 
     from real3dportrait_tpu.ops.grid_sample import (
-        grid_sample_3d, grid_sample_3d_packed, grid_sample_3d_packed8,
+        grid_sample_3d, grid_sample_3d_packed,
     )
 
     rng = np.random.RandomState(2)
@@ -75,7 +75,7 @@ def test_grid_sample_3d_border_matches_torch():
                         padding_mode="border", align_corners=True)
     ref = ref.reshape(2, 4, -1).permute(0, 2, 1).numpy()
 
-    for fn in (grid_sample_3d, grid_sample_3d_packed, grid_sample_3d_packed8):
+    for fn in (grid_sample_3d, grid_sample_3d_packed):
         ours = fn(jnp.asarray(feats), jnp.asarray(coords),
                   align_corners=True, padding_mode="border")
         np.testing.assert_allclose(np.asarray(ours), ref, rtol=1e-4,

@@ -68,13 +68,57 @@ def main():
                         label=f"SECC raster fb={fb} res={res} (batch)")
             print(f"{'':40s} {dt / fb:8.2f} ms/frame")
 
-    if "frame" in which:
+    if which & {"frame", "slices"}:
         frame_step, (variables, cam, secc, cano, cond) = ge._flagship(tiny=False)
-        step = jax.jit(frame_step)
         fpc = getattr(frame_step, "frames_per_call", 1)
+
+    if "frame" in which:
+        step = jax.jit(frame_step)
         dt = timeit(step, variables, cam, secc, cano, cond,
                     label=f"frame_step b={fpc}")
         print(f"{'':40s} {dt / fpc:8.2f} ms/frame")
+
+    if "slices" in which:
+        # sub-slices of the synthesis step, each its own jitted graph
+        from real3dportrait_tpu.geometry.camera import unpack_camera
+        from real3dportrait_tpu.rendering.ray_sampler import sample_rays
+        from real3dportrait_tpu.rendering.renderer import render_rays
+
+        mdl = frame_step.model
+
+        def secc_plane(m, cano, secc):
+            return m.cal_plane_given_cano(cano, secc)
+
+        def volume_only(m, planes, camera):
+            c2w, intr = unpack_camera(camera)
+            res = m.neural_rendering_resolution
+            o, d = sample_rays(c2w, intr, res)
+            if m.render_bf16:
+                planes = planes.astype(jnp.bfloat16)
+            out = render_rays(planes, m._decoder_fn(), o, d, m.render_options)
+            return out["rgb"]
+
+        def sr_only(m, rgb, feat, weights, cond):
+            ws = jnp.ones((rgb.shape[0], 14, m.w_dim), rgb.dtype)
+            return m._forward_sr(rgb, feat, ws, weights, cond, "none")[0]
+
+        planes_fn = jax.jit(lambda v, c, s: mdl.apply(v, c, s, method=secc_plane))
+        planes = planes_fn(variables, cano, secc)
+        vol_fn = jax.jit(lambda v, p, c: mdl.apply(v, p, c, method=volume_only))
+        b = cam.shape[0]
+        res = mdl.neural_rendering_resolution
+        feat = jnp.zeros((b, res, res, 32))
+        weights = jnp.ones((b, res, res, 1))
+        sr_fn = jax.jit(lambda v, r, f, w, c: mdl.apply(
+            v, r, f, w, c, method=sr_only))
+
+        t_p = timeit(planes_fn, variables, cano, secc,
+                     label=f"secc plane backbone+fuse b={fpc}")
+        t_v = timeit(vol_fn, variables, planes, cam,
+                     label=f"volume render (2-pass) b={fpc}")
+        t_s = timeit(sr_fn, variables, feat[..., :3], feat, weights, cond,
+                     label=f"SR/torso fusion head b={fpc}")
+        print(f"{'':40s} sum {(t_p + t_v + t_s) / fpc:8.2f} ms/frame")
 
 
 if __name__ == "__main__":
