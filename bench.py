@@ -168,7 +168,8 @@ def _bench_e2e(results, step, variables, cam, cano, cond, tiny,
     # synthesis frames per device step (must divide the raster batch)
     spc = getattr(step, "frames_per_call", None) or getattr(
         getattr(step, "__wrapped__", step), "frames_per_call", 1)
-    fb = 2 if tiny else max(int(os.environ.get("BENCH_SECC_BATCH", "8")), spc)
+    # raster frame batch 16: measured 7.8 ms/frame vs 9.2 at fb=8 (r4)
+    fb = 2 if tiny else max(int(os.environ.get("BENCH_SECC_BATCH", "16")), spc)
     fb = (fb // spc) * spc
     # z-buffer resolution: the NCC cond maps are smooth color fields, so a
     # reduced raster + bilinear upsample is visually lossless conditioning

@@ -75,6 +75,7 @@ def test_fvae_train_and_infer(rng):
     assert x_gen.shape == x.shape
 
 
+@pytest.mark.slow  # fast-tier budget (>15 s on a 1-CPU box)
 @pytest.mark.parametrize("cls,audio_dim", [(PitchContourVAEModel, 32), (VAEModel, 32)])
 def test_vae_models(cls, audio_dim, rng):
     model = cls(in_out_dim=16, audio_in_dim=audio_dim, feat_dim=16)
@@ -106,6 +107,7 @@ def test_vae_models(cls, audio_dim, rng):
                                atol=1e-6)
 
 
+@pytest.mark.slow  # fast-tier budget (>15 s on a 1-CPU box)
 def test_syncnet_embeddings_and_losses(rng):
     net = LandmarkHubertSyncNet(base_hid_size=16, out_dim=32)
     hubert = jax.random.normal(rng, (4, 10, 1024))

@@ -141,6 +141,7 @@ def test_syncnet_dataset_mining_mix(tmp_path):
     assert float(np.abs(batch["mouth_clip"]).max()) > 0
 
 
+@pytest.mark.slow  # fast-tier budget (>15 s on a 1-CPU box)
 def test_syncnet_task_consumes_mined_batches(tmp_path):
     import jax
 

@@ -196,6 +196,7 @@ def _toy_decoder(feats, dirs):
     return {"rgb": rgb, "sigma": sigma}
 
 
+@pytest.mark.slow  # fast-tier budget (>15 s on a 1-CPU box)
 @pytest.mark.parametrize("trigrid", [False, True])
 def test_render_rays_shapes_and_determinism(trigrid):
     b, res = 1, 8
@@ -278,13 +279,15 @@ def test_grid_sample_3d_packed_equivalence():
     assert jnp.max(jnp.abs(want - got)) < 1e-5
 
 
-def test_grid_sample_3d_packed8_equivalence():
-    """8-corner-packed trilinear path == reference path, incl. borders."""
+def test_grid_sample_3d_prepacked_equivalence():
+    """8-corner cell-packed trilinear path (pack_trigrid_cells +
+    grid_sample_3d_prepacked, the torso warp fast path) == reference path,
+    incl. borders."""
     import jax
     import jax.numpy as jnp
 
     from real3dportrait_tpu.ops.grid_sample import (
-        grid_sample_3d, grid_sample_3d_packed8,
+        grid_sample_3d, grid_sample_3d_prepacked, pack_trigrid_cells,
     )
 
     k = jax.random.PRNGKey(3)
@@ -295,12 +298,9 @@ def test_grid_sample_3d_packed8_equivalence():
                        [-1.0, 1.0, 0.0], [0.999, -0.999, 0.5]]])
     coords = jnp.concatenate([coords, jnp.tile(edge, (2, 1, 1))], axis=1)
     want = grid_sample_3d(feats, coords)
-    got = grid_sample_3d_packed8(feats, coords)
+    packed = pack_trigrid_cells(feats)
+    got = grid_sample_3d_prepacked(packed, (4, 9, 11, 5), coords)
     assert jnp.max(jnp.abs(want - got)) < 1e-5
-    # D=1 volumes fall back to the reference path
-    f1 = feats[:, :1]
-    assert jnp.max(jnp.abs(grid_sample_3d_packed8(f1, coords)
-                           - grid_sample_3d(f1, coords))) < 1e-6
 
 
 def test_grid_sample_2d_packed_equivalence():

@@ -158,6 +158,7 @@ def test_mapping_network_shapes_and_truncation(rng):
     assert float(jnp.abs(mutated["ema"]["w_avg"]).sum()) > 0
 
 
+@pytest.mark.slow  # fast-tier budget (>15 s on a 1-CPU box)
 def test_synthesis_network_tiny(rng):
     net = SynthesisNetwork(w_dim=16, img_resolution=32, img_channels=3,
                            channel_base=512, channel_max=64)

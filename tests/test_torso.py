@@ -72,6 +72,7 @@ def test_warp_torso_model_tiny(torso_inputs):
     assert float(out["occlusion_2"].min()) >= 0 and float(out["occlusion_2"].max()) <= 1
 
 
+@pytest.mark.slow  # fast-tier budget (>15 s on a 1-CPU box)
 def test_warp_torso_v2_conditioning(torso_inputs):
     img, segmap, kp_s, kp_d = torso_inputs
     model = WarpBasedTorsoModel(torso_kp_num=4, scale="tiny")

@@ -383,6 +383,7 @@ def test_trainer_dumps_val_images(tmp_path):
                                        "probe.png"))
 
 
+@pytest.mark.slow  # fast-tier budget (>15 s on a 1-CPU box)
 def test_grad_accumulation_syncnet():
     """accumulate_grad_batches=k: params move only every k-th micro-step and
     the k-step update matches the mean-gradient update (optax.MultiSteps)."""
@@ -435,6 +436,7 @@ def test_trainer_tee_and_code_snapshot(tmp_path):
     assert snaps
 
 
+@pytest.mark.slow  # fast-tier budget (>15 s on a 1-CPU box)
 def test_ray_cp_sharded_render_matches_unsharded():
     """The real render path (trigrid sampling + OSGDecoder + importance
     resampling) under shard_map over rays == unsharded render, including the
