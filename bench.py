@@ -171,9 +171,12 @@ def _bench_e2e(results, step, variables, cam, cano, cond, tiny,
     # raster frame batch 16: measured 7.8 ms/frame vs 9.2 at fb=8 (r4)
     fb = 2 if tiny else max(int(os.environ.get("BENCH_SECC_BATCH", "16")), spc)
     fb = (fb // spc) * spc
-    # z-buffer resolution: the NCC cond maps are smooth color fields, so a
-    # reduced raster + bilinear upsample is visually lossless conditioning
-    raster_res = 64 if tiny else int(os.environ.get("BENCH_SECC_RES", "256"))
+    # z-buffer resolution: the NCC cond maps are smooth color fields and the
+    # SECC backbone consumes them through a 7x7 STRIDE-4 patch embed, so a
+    # reduced raster + bilinear upsample loses almost nothing the backbone
+    # can see (192^2 raster = 39.2 dB after stride-4 pooling vs the native
+    # 512^2 raster; 256^2 = 41.7 dB — measured r4, BASELINE.md)
+    raster_res = 64 if tiny else int(os.environ.get("BENCH_SECC_RES", "192"))
     out_res = 64 if tiny else 512     # cond-map resolution fed to the model
     # production mesh scale: BFM09 = 35709 verts / ~70k faces
     assets = synthetic_bfm(n_vertices=256 if tiny else 35709)

@@ -67,12 +67,15 @@ class Real3DPortraitPipeline:
 
         # geometry
         self.assets = load_or_synthetic_bfm(bfm_dir)
-        # Rasterize the SECC z-buffer at a reduced resolution (default 256²;
-        # the rasterizer is the per-frame bottleneck) and bilinearly upsample
-        # the smooth NCC cond maps to the backbone's input size.
+        # Rasterize the SECC z-buffer at a reduced resolution (default 192²)
+        # and bilinearly upsample the smooth NCC cond maps to the backbone's
+        # input size: the SECC backbone reads them through a 7x7 stride-4
+        # patch embed, and a 192² raster keeps 39 dB fidelity in that
+        # stride-4 view vs a native 512² raster (BASELINE.md r4) while the
+        # rasterizer is the per-frame inference bottleneck.
         self.secc_renderer = SECCRenderer(
             self.assets, bfm_dir,
-            rasterize_size=int(cfg.get("secc_resolution", 256)),
+            rasterize_size=int(cfg.get("secc_resolution", 192)),
             output_resolution=int(cfg.get("final_resolution", 512)),
         )
 
@@ -104,7 +107,6 @@ class Real3DPortraitPipeline:
             sr_channel0=int(cfg.get("sr_channel0", 256)),
             sr_channel1=int(cfg.get("sr_channel1", 128)),
             render_bf16=bool(cfg.get("render_bf16", False)),
-            use_fused_decoder=bool(cfg.get("use_fused_decoder", False)),
         )
         if use_torso:
             self.model = OSAvatarSECCImg2PlaneTorso(

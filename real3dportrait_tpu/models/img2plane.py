@@ -98,8 +98,6 @@ class OSAvatarImg2Plane(nn.Module):
     box_warp: float = 1.0
     ray_near: Any = "auto"
     ray_far: Any = "auto"
-    use_fused_decoder: bool = False   # Pallas fused plane-mean+MLP kernel
-    fused_interpret: bool = False     # interpret mode (CPU testing)
     render_bf16: bool = False         # bf16 plane sampling + decoder matmuls
     torso_bf16: bool = False          # bf16 compute through the torso branch
     sr_fuse_bf16: bool = False        # bf16 compute in the SR fusion convs
@@ -182,29 +180,10 @@ class OSAvatarImg2Plane(nn.Module):
         return self._to_render_layout(planes)
 
     def _decoder_fn(self):
-        if not self.use_fused_decoder:
-            return lambda feats, dirs: self.decoder(feats, dirs)
-
-        import math as _math
-
-        def fused(feats, dirs):
-            if self.is_initializing():
-                return self.decoder(feats, dirs)
-            from real3dportrait_tpu.ops.pallas import fused_osg_decoder
-
-            p = self.decoder.variables["params"]
-            c = feats.shape[-1]
-            hid = p["net0"]["weight"].shape[1]
-            return fused_osg_decoder(
-                feats,
-                p["net0"]["weight"] * (1.0 / _math.sqrt(c)),
-                p["net0"]["bias"],
-                p["net1"]["weight"] * (1.0 / _math.sqrt(hid)),
-                p["net1"]["bias"],
-                interpret=self.fused_interpret,
-            )
-
-        return fused
+        # a Pallas fused plane-mean+MLP decoder was built, measured in the
+        # flagship graph (62.8 vs 52.3 ms/frame, BASELINE.md round 4) and
+        # deleted — the XLA decoder path wins
+        return lambda feats, dirs: self.decoder(feats, dirs)
 
     def render_planes(
         self,

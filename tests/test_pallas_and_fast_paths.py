@@ -44,39 +44,4 @@ def test_merge_sorted_with_ties():
     assert np.all(np.diff(np.asarray(d[0, 0, :, 0])) >= 0)
 
 
-def test_fused_osg_decoder_matches_module(rng):
-    from real3dportrait_tpu.models.decoder import OSGDecoder
-    from real3dportrait_tpu.ops.pallas import fused_osg_decoder
 
-    hid, out_dim, c = 64, 32, 96
-    dec = OSGDecoder(hidden_dim=hid, output_dim=out_dim)
-    feats = jax.random.normal(rng, (2, 3, 300, c))
-    variables = dec.init(jax.random.PRNGKey(0), feats)
-    ref = dec.apply(variables, feats)
-
-    p = variables["params"]
-    # FullyConnectedLayer folds lr_mult/sqrt(fan_in) into the weight at call
-    w0 = p["net0"]["weight"] * (1.0 / np.sqrt(c))
-    b0 = p["net0"]["bias"]
-    w1 = p["net1"]["weight"] * (1.0 / np.sqrt(hid))
-    b1 = p["net1"]["bias"]
-    out = fused_osg_decoder(feats, w0, b0, w1, b1, tile_m=128, interpret=True)
-    np.testing.assert_allclose(np.asarray(out["rgb"]), np.asarray(ref["rgb"]),
-                               rtol=1e-4, atol=1e-5)
-    np.testing.assert_allclose(np.asarray(out["sigma"]), np.asarray(ref["sigma"]),
-                               rtol=1e-4, atol=1e-5)
-
-
-def test_fused_decoder_pads_ragged_m(rng):
-    from real3dportrait_tpu.ops.pallas import fused_osg_decoder
-
-    c, hid, out_dim = 16, 8, 4
-    feats = jax.random.normal(rng, (1, 3, 100, c))  # 100 % 64 != 0
-    w0 = jax.random.normal(jax.random.PRNGKey(1), (c, hid)) * 0.1
-    b0 = jnp.zeros((hid,))
-    w1 = jax.random.normal(jax.random.PRNGKey(2), (hid, 1 + out_dim)) * 0.1
-    b1 = jnp.zeros((1 + out_dim,))
-    out = fused_osg_decoder(feats, w0, b0, w1, b1, tile_m=64, interpret=True)
-    assert out["rgb"].shape == (1, 100, out_dim)
-    assert out["sigma"].shape == (1, 100, 1)
-    assert bool(jnp.isfinite(out["rgb"]).all())
