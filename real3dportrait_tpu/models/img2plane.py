@@ -254,6 +254,7 @@ class OSAvatarSECCImg2Plane(OSAvatarImg2Plane):
     pncc_cond_mode: str = "cano_src_tgt"  # cano_src_tgt | cano_tgt
     secc_segformer_scale: str = "b0"
     plane_fusion_mode: str = "add"  # add | mul
+    secc_plane_cnn_bf16: bool = False  # bf16 plane-CNN convs (per-frame path)
 
     def setup(self):
         super().setup()
@@ -262,6 +263,7 @@ class OSAvatarSECCImg2Plane(OSAvatarImg2Plane):
             plane_channels=self.plane_channels,
             pncc_cond_mode=self.pncc_cond_mode,
             head_norm_mode=self.head_norm_mode,
+            plane_cnn_bf16=self.secc_plane_cnn_bf16,
         )
 
     def cal_secc_plane(self, secc: jnp.ndarray) -> jnp.ndarray:
@@ -319,6 +321,8 @@ class OSAvatarSECCImg2PlaneTorso(OSAvatarSECCImg2Plane):
     head_threshold: float = 0.9
     torso_version: str = "v2"
     torso_inp_mode: str = "rgb_alpha"
+    mfe_fat_bf16: bool = False  # bf16 for the MFE's fat 7^3/occlusion convs
+    mfe_bf16: bool = False      # bf16 for the whole motion-field estimator
 
     def _make_superresolution(self):
         from real3dportrait_tpu.models.sr_with_ref import SuperresolutionHybrid8XDCWarp
@@ -340,6 +344,8 @@ class OSAvatarSECCImg2PlaneTorso(OSAvatarSECCImg2Plane):
             torso_norm_mode="affine" if self.head_norm_mode == "folded_bn"
             else self.head_norm_mode,
             torso_bf16=self.torso_bf16,
+            torso_mfe_fat_bf16=self.mfe_fat_bf16,
+            torso_mfe_bf16=self.mfe_bf16,
             fuse_bf16=self.sr_fuse_bf16,
         )
 

@@ -236,18 +236,26 @@ class SegFormerHead(nn.Module):
 
 class PlaneCNN(nn.Module):
     """Fused feature map -> raw planes: 3 convs + 2x upsample + projection
-    (`segformer.py:568-578`)."""
+    (`segformer.py:568-578`).
+
+    ``conv_bf16``: bf16 compute for the conv stack (params stay fp32; output
+    cast back to fp32) — the plane CNN is ~87 GFLOP/frame at the flagship's
+    128^2/256^2 maps, the MXU whale of the per-frame SECC backbone."""
 
     out_channels: int
+    conv_bf16: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        dt = jnp.bfloat16 if self.conv_bf16 else None
         for i in range(3):
-            x = nn.Conv(256, (3, 3), padding=1, name=f"conv{i}")(x)
+            x = nn.Conv(256, (3, 3), padding=1, dtype=dt, name=f"conv{i}")(x)
             x = nn.leaky_relu(x, 0.01)
         # reference uses nn.UpsamplingBilinear2d => align_corners=True
         x = upsample_align_corners(x, (x.shape[1] * 2, x.shape[2] * 2))
-        return nn.Conv(self.out_channels, (3, 3), padding=1, name="to_plane")(x)
+        out = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=dt,
+                      name="to_plane")(x)
+        return out.astype(jnp.float32)
 
 
 def apply_plane_flips(planes: jnp.ndarray) -> jnp.ndarray:
@@ -290,6 +298,7 @@ class SegFormerSECC2PlaneBackbone(nn.Module):
     plane_channels: int = 96
     pncc_cond_mode: str = "cano_src_tgt"
     head_norm_mode: str = "gn"
+    plane_cnn_bf16: bool = False  # bf16 compute in the plane CNN convs
 
     @nn.compact
     def __call__(self, secc: jnp.ndarray) -> jnp.ndarray:
@@ -299,7 +308,8 @@ class SegFormerSECC2PlaneBackbone(nn.Module):
         x = Conv2dLayer(3, kernel_size=1, name="prenet")(secc)
         feats = MixVisionTransformer(self.scale, name="mix_vit")(x)
         fused = SegFormerHead(norm_mode=self.head_norm_mode, name="fuse_head")(feats)
-        planes = PlaneCNN(self.plane_channels * 3, name="to_plane_cnn")(fused)
+        planes = PlaneCNN(self.plane_channels * 3,
+                          conv_bf16=self.plane_cnn_bf16, name="to_plane_cnn")(fused)
         b, h, w, _ = planes.shape
         planes = planes.reshape(b, h, w, 3, self.plane_channels)
         planes = jnp.moveaxis(planes, 3, 1)

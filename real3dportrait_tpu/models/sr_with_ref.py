@@ -39,6 +39,8 @@ class SuperresolutionHybrid8XDCWarp(nn.Module):
     torso_norm_mode: str = "gn"      # "affine" for converted torch ckpts
     torso_inp_mode: str = "rgb_alpha"  # shipped torso_inp_mode
     torso_bf16: bool = False         # bf16 compute through the torso branch
+    torso_mfe_fat_bf16: bool = False  # bf16 for the MFE fat convs only
+    torso_mfe_bf16: bool = False      # bf16 for the whole MFE conv stack
     fuse_bf16: bool = False          # bf16 compute through the fusion convs
 
     @nn.compact
@@ -69,6 +71,8 @@ class SuperresolutionHybrid8XDCWarp(nn.Module):
                 version=self.torso_version, norm_mode=self.torso_norm_mode,
                 inp_mode=self.torso_inp_mode,
                 dtype=jnp.bfloat16 if self.torso_bf16 else None,
+                mfe_fat_bf16=self.torso_mfe_fat_bf16,
+                mfe_bf16=self.torso_mfe_bf16,
                 name="torso_model",
             )(torso_mid, segmap, kp_s, kp_d, appearance_only=True)
             return ret["appearance_volume"], ret
@@ -106,6 +110,8 @@ class SuperresolutionHybrid8XDCWarp(nn.Module):
             version=self.torso_version, norm_mode=self.torso_norm_mode,
             inp_mode=self.torso_inp_mode,
             dtype=jnp.bfloat16 if self.torso_bf16 else None,
+            mfe_fat_bf16=self.torso_mfe_fat_bf16,
+            mfe_bf16=self.torso_mfe_bf16,
             name="torso_model",
         )(torso_mid, segmap, kp_s, kp_d,
           target_torso_mask=target_torso_mask,

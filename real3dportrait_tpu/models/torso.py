@@ -53,7 +53,9 @@ class ChannelAffine(nn.Module):
         c = x.shape[-1]
         scale = self.param("scale", nn.initializers.ones, (c,))
         bias = self.param("bias", nn.initializers.zeros, (c,))
-        return x * scale + bias
+        # compute in the input dtype: fp32 params would otherwise promote a
+        # bf16 conv stack back to fp32 at every norm (dtype ping-pong)
+        return x * scale.astype(x.dtype) + bias.astype(x.dtype)
 
 
 def _norm(x, mode: str, name: str):
@@ -329,6 +331,11 @@ class MotionFieldEstimator(nn.Module):
     # target head + its NeRF weights through a dedicated encoder/fuser.
     use_head_cond: bool = False
     head_hid_dim: int = 32
+    # bf16 compute for ONLY the fat 7^3 convs (tgt_head_fuser, mask_conv) and
+    # the fused occlusion conv — the estimator's MXU whales. Whole-MFE bf16
+    # measured SLOWER (r3: 16.3 -> 18.2 ms, cast overhead on the
+    # warp/elementwise-dominated stages); this knob leaves those fp32.
+    fat_bf16: bool = False
 
     @nn.compact
     def __call__(self, fs: jnp.ndarray, kp_s: jnp.ndarray, kp_d: jnp.ndarray,
@@ -387,12 +394,15 @@ class MotionFieldEstimator(nn.Module):
                                     "bilinear", antialias=False)
             head_vol = jnp.repeat(head[:, None], d, axis=1)
             x = jnp.concatenate([x, head_vol], axis=-1)
-            x = Conv3D(self.head_hid_dim, (7, 7, 7), dtype=self.dtype,
+            fat_dt = jnp.bfloat16 if self.fat_bf16 else self.dtype
+            x = Conv3D(self.head_hid_dim, (7, 7, 7), dtype=fat_dt,
                        name="tgt_head_fuser")(x)
+        else:
+            fat_dt = jnp.bfloat16 if self.fat_bf16 else self.dtype
 
-        mask = Conv3D(k + 1, (7, 7, 7), dtype=self.dtype,
+        mask = Conv3D(k + 1, (7, 7, 7), dtype=fat_dt,
                       name="mask_conv")(x)
-        mask = jax.nn.softmax(mask, axis=-1)  # over K+1 candidates
+        mask = jax.nn.softmax(mask.astype(jnp.float32), axis=-1)  # over K+1
         mask = jnp.moveaxis(mask, -1, 1)[..., None]  # [B,K+1,D,H,W,1]
         deformation = jnp.sum(sparse_motion * mask, axis=1)  # [B,D,H,W,3]
 
@@ -408,10 +418,13 @@ class MotionFieldEstimator(nn.Module):
         cin = x2d.shape[-1]
         k1, b1 = _Conv2DParams(cin, 1, 7, name="occlusion_conv")()
         k2, b2 = _Conv2DParams(cin, 1, 7, name="occlusion_conv2")()
+        kk = jnp.concatenate([k1, k2], axis=-1)
+        if fat_dt is not None:
+            x2d, kk = x2d.astype(fat_dt), kk.astype(fat_dt)
         fused = jax.lax.conv_general_dilated(
-            x2d, jnp.concatenate([k1, k2], axis=-1), (1, 1),
+            x2d, kk, (1, 1),
             [(3, 3), (3, 3)], dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        ) + jnp.concatenate([b1, b2])
+        ).astype(jnp.float32) + jnp.concatenate([b1, b2])
         occlusion = jax.nn.sigmoid(fused[..., :1])
         occlusion_2 = jax.nn.sigmoid(fused[..., 1:2])
         return deformation, occlusion, occlusion_2
@@ -518,6 +531,8 @@ class WarpBasedTorsoModel(nn.Module):
     # also sees the 2-channel neck/torso segmap (`model2.py:227-229`)
     inp_mode: str = "rgb_alpha"
     dtype: Any = None  # compute dtype for the conv stacks (bf16 inference)
+    mfe_fat_bf16: bool = False  # bf16 for the MFE's fat 7^3/occlusion convs
+    mfe_bf16: bool = False      # bf16 for the WHOLE motion-field estimator
 
     KP_SUBSETS = {4: (0, 8, 16, 27), 9: (0, 3, 6, 8, 10, 13, 16, 27, 33)}
 
@@ -593,6 +608,8 @@ class WarpBasedTorsoModel(nn.Module):
             down_seq=arch["motion_down_seq"], up_seq=arch["motion_up_seq"],
             norm_mode=self.norm_mode,
             use_head_cond=(self.version == "v2"),
+            fat_bf16=self.mfe_fat_bf16,
+            dtype=jnp.bfloat16 if self.mfe_bf16 else None,
             name="motion_field_estimator",
         )(motion_inp, kps, kpd, **head_kwargs)
 

@@ -12,17 +12,19 @@ import jax
 import jax.numpy as jnp
 
 
-def march_rays(
-    colors: jnp.ndarray,
-    densities: jnp.ndarray,
-    depths: jnp.ndarray,
-    white_back: bool = False,
+def march_weights(
+    densities: jnp.ndarray, depths: jnp.ndarray
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """colors [B,M,S,C], densities [B,M,S,1], depths [B,M,S,1] ->
-    (rgb [B,M,C] in [-1,1], depth [B,M,1], weights [B,M,S-1,1]).
+    """densities/depths [B,M,S,1] -> (weights [B,M,S-1,1], w_c [B,M,S],
+    depths_mid [B,M,S-1,1]).
+
+    ``w_c`` is the per-SAMPLE composite weight such that
+    ``sum_s w_c[s] * v[s] == sum_i weights[i] * (v[i]+v[i+1])/2`` for any
+    per-sample quantity v — i.e. the midpoint quadrature re-indexed onto the
+    samples, letting callers composite fat color tensors with a single
+    einsum instead of materializing midpoints.
     """
     deltas = depths[:, :, 1:] - depths[:, :, :-1]
-    colors_mid = (colors[:, :, :-1] + colors[:, :, 1:]) / 2
     densities_mid = (densities[:, :, :-1] + densities[:, :, 1:]) / 2
     depths_mid = (depths[:, :, :-1] + depths[:, :, 1:]) / 2
 
@@ -44,7 +46,30 @@ def march_rays(
     )[..., None][:, :, :-1]
     weights = alpha * transmittance
 
-    composite_rgb = jnp.sum(weights * colors_mid, axis=-2)
+    # midpoint quadrature re-indexed onto samples:
+    # sum_i w[i]*(v[i]+v[i+1])/2 == sum_s v[s]*(w[s-1]+w[s])/2, w[-1]=w[S-1]=0
+    w = weights[..., 0]  # [B,M,S-1]
+    zero = jnp.zeros_like(w[..., :1])
+    w_c = (jnp.concatenate([zero, w], axis=-1)
+           + jnp.concatenate([w, zero], axis=-1)) / 2.0  # [B,M,S]
+    return weights, w_c, depths_mid
+
+
+def march_rays(
+    colors: jnp.ndarray,
+    densities: jnp.ndarray,
+    depths: jnp.ndarray,
+    white_back: bool = False,
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """colors [B,M,S,C], densities [B,M,S,1], depths [B,M,S,1] ->
+    (rgb [B,M,C] in [-1,1], depth [B,M,1], weights [B,M,S-1,1]).
+    """
+    weights, w_c, depths_mid = march_weights(densities, depths)
+
+    # composite color without materializing colors_mid: one read of the fat
+    # [B,M,S,C] colors tensor (no midpoint copy, no weights*colors_mid
+    # intermediate); the [B,M,S] reweighting is free.
+    composite_rgb = jnp.einsum("bms,bmsc->bmc", w_c, colors)
     weight_total = jnp.sum(weights, axis=-2)
     composite_depth = jnp.sum(weights * depths_mid, axis=-2) / weight_total
     composite_depth = jnp.nan_to_num(composite_depth, nan=jnp.inf)

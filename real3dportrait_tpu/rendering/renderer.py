@@ -32,7 +32,7 @@ from real3dportrait_tpu.ops.grid_sample import (
     pack_xy_cells,
 )
 from real3dportrait_tpu.rendering import math_utils
-from real3dportrait_tpu.rendering.ray_marcher import march_rays
+from real3dportrait_tpu.rendering.ray_marcher import march_rays, march_weights
 
 # Static projections of world xyz onto the three planes, equal to the
 # reference's coordinates @ inv(plane_axes) (renderer.py:30-63):
@@ -223,17 +223,27 @@ def _sample_pdf(
     inds = jnp.sum(
         (cdf[:, None, :] <= u[:, :, None]).astype(jnp.int32), axis=-1
     )  # [R, n]
-    below = jnp.clip(inds - 1, 0, None)
-    above = jnp.clip(inds, None, s)
+    below = jnp.clip(inds - 1, 0, None)  # j in [0, s]
 
-    def select(vals, idx):
-        oh = jax.nn.one_hot(idx, vals.shape[-1], dtype=jnp.float32)  # [R,n,S]
-        return jnp.einsum("rns,rs->rn", oh, vals.astype(jnp.float32))
-
-    cdf_b = select(cdf, below)
-    cdf_a = select(cdf, above)
-    bins_b = select(bins, jnp.clip(below, None, bins.shape[-1] - 1))
-    bins_a = select(bins, jnp.clip(above, None, bins.shape[-1] - 1))
+    # ONE one-hot select for all four lookups: with above = min(j+1, s) and
+    # bins indices clipped to the table, every quantity is a function of j
+    # alone, so a single [R,n,s+2] one-hot einsum against a 4-channel payload
+    # replaces four independent one-hot materializations (4x less one-hot
+    # HBM traffic; values are bit-identical to the separate selects).
+    nb = bins.shape[-1]
+    assert nb == s + 2, f"bins/weights shape contract broken: {nb} != {s}+2"
+    cdf_b_tab = jnp.concatenate([cdf, cdf[:, -1:]], axis=-1)        # cdf[min(t,s)]
+    cdf_a_tab = jnp.concatenate([cdf[:, 1:], cdf[:, -1:], cdf[:, -1:]],
+                                axis=-1)                            # cdf[min(t+1,s)]
+    bins_b_tab = bins                                               # bins[t]
+    bins_a_tab = jnp.concatenate([bins[:, 1 : s + 1], bins[:, s : s + 1],
+                                  bins[:, s : s + 1]], axis=-1)     # bins[min(t+1,s)]
+    payload = jnp.stack([cdf_b_tab, cdf_a_tab, bins_b_tab, bins_a_tab],
+                        axis=-1).astype(jnp.float32)                # [R, s+2, 4]
+    oh = jax.nn.one_hot(below, nb, dtype=jnp.float32)               # [R, n, s+2]
+    sel = jnp.einsum("rns,rsc->rnc", oh, payload)
+    cdf_b, cdf_a, bins_b, bins_a = (sel[..., 0], sel[..., 1],
+                                    sel[..., 2], sel[..., 3])
 
     denom = cdf_a - cdf_b
     denom = jnp.where(denom < eps, 1.0, denom)
@@ -305,6 +315,59 @@ def _merge_sorted_samples(depths1, colors1, densities1, depths2, colors2, densit
         merged[..., 1 : 1 + cc].astype(c_dtype),
         merged[..., 1 + cc :],
     )
+
+
+def _march_merged(depths1, colors1, densities1, depths2, colors2, densities2,
+                  white_back: bool = False):
+    """Fused merge+march of two per-ray **sorted** sample sets.
+
+    Equivalent to ``march_rays(*_merge_sorted_samples(...))`` but never
+    materializes the merged color tensor: only (depth, sigma) go through the
+    [R,S,S] one-hot permutation (payload c=2 instead of 2+C), the march
+    weights are computed on the merged depth/sigma, and the per-sample
+    composite weights are pulled BACK to concatenation order through the same
+    permutation (``w_cat[t] = w_c[pos[t]]``), so the fat [R,S,C] color tensor
+    is read exactly once by the final composite einsum. Bit-equal to the
+    unfused path modulo fp32 summation order.
+    """
+    b, m, s1, _ = depths1.shape
+    s2 = depths2.shape[2]
+    s = s1 + s2
+    d1 = depths1.reshape(b * m, s1)
+    d2 = depths2.reshape(b * m, s2)
+    pos1 = jnp.arange(s1)[None] + jnp.sum(
+        (d2[:, None, :] < d1[:, :, None]).astype(jnp.int32), axis=-1)
+    pos2 = jnp.arange(s2)[None] + jnp.sum(
+        (d1[:, None, :] <= d2[:, :, None]).astype(jnp.int32), axis=-1)
+    pos = jnp.concatenate([pos1, pos2], axis=-1)  # [R, S]
+    perm = jax.nn.one_hot(pos, s, axis=-2, dtype=jnp.float32)  # [R, S_out, S_in]
+    perm = perm.reshape(b, m, s, s)
+
+    ds = jnp.concatenate([
+        jnp.concatenate([depths1, depths2], axis=-2).astype(jnp.float32),
+        jnp.concatenate([densities1, densities2], axis=-2).astype(jnp.float32),
+    ], axis=-1)  # [B,M,S,2]
+    merged = jnp.einsum("bmst,bmtc->bmsc", perm, ds)
+    md, msig = merged[..., :1], merged[..., 1:]
+
+    weights, w_c, depths_mid = march_weights(msig, md)
+
+    # pull the per-sample composite weights back to concat order and
+    # composite colors directly from the unmerged concatenation
+    w_cat = jnp.einsum("bms,bmst->bmt", w_c, perm)  # [B,M,S_in]
+    colors_cat = jnp.concatenate([colors1, colors2], axis=-2)
+    composite_rgb = jnp.einsum("bmt,bmtc->bmc", w_cat,
+                               colors_cat.astype(jnp.float32))
+
+    weight_total = jnp.sum(weights, axis=-2)
+    composite_depth = jnp.sum(weights * depths_mid, axis=-2) / weight_total
+    composite_depth = jnp.nan_to_num(composite_depth, nan=jnp.inf)
+    composite_depth = jnp.clip(composite_depth, jnp.min(md), jnp.max(md))
+
+    if white_back:
+        composite_rgb = composite_rgb + 1.0 - weight_total
+    composite_rgb = composite_rgb * 2.0 - 1.0
+    return composite_rgb, composite_depth, weights
 
 
 def _unify_samples(depths1, colors1, densities1, depths2, colors2, densities2):
@@ -400,12 +463,9 @@ def render_rays(
         )
         depths_fine = sample_importance(depths_coarse, weights, n_imp, keys[2])
         colors_fine, densities_fine = eval_at(depths_fine, keys[3])
-        all_depths, all_colors, all_densities = _merge_sorted_samples(
+        rgb, depth, weights = _march_merged(
             depths_coarse, colors_coarse, densities_coarse,
-            depths_fine, colors_fine, densities_fine,
-        )
-        rgb, depth, weights = march_rays(
-            all_colors, all_densities, all_depths, options.white_back
+            depths_fine, colors_fine, densities_fine, options.white_back,
         )
     else:
         rgb, depth, weights = march_rays(

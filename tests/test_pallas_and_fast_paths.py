@@ -45,3 +45,26 @@ def test_merge_sorted_with_ties():
 
 
 
+def test_march_merged_fused_matches_unfused():
+    """_march_merged (merge+march without materializing merged colors) must
+    match march_rays over _merge_sorted_samples."""
+    from real3dportrait_tpu.rendering.ray_marcher import march_rays
+    from real3dportrait_tpu.rendering.renderer import _march_merged
+
+    k = jax.random.PRNGKey(7)
+    k1, k2, k3, k4, k5, k6 = jax.random.split(k, 6)
+    b, m, s1, s2, c = 2, 9, 10, 7, 6
+    d1 = _sorted_depths(k1, b, m, s1)
+    d2 = _sorted_depths(k2, b, m, s2)
+    c1 = jax.random.uniform(k3, (b, m, s1, c))
+    c2 = jax.random.uniform(k4, (b, m, s2, c))
+    s1d = jax.random.normal(k5, (b, m, s1, 1))
+    s2d = jax.random.normal(k6, (b, m, s2, 1))
+
+    md, mc, ms = _merge_sorted_samples(d1, c1, s1d, d2, c2, s2d)
+    for wb in (False, True):
+        ref = march_rays(mc, ms, md, wb)
+        got = _march_merged(d1, c1, s1d, d2, c2, s2d, wb)
+        for r, g in zip(ref, got):
+            np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                       atol=1e-5, rtol=1e-5)

@@ -346,3 +346,55 @@ def test_make_packed_sampler_matches_sample_features():
         want = sample_features(planes, coords, 1.0)
         got = make_packed_sampler(planes, 1.0)(coords)
         assert jnp.max(jnp.abs(want - got)) < 1e-5, shape
+
+
+# --- fused-select / reindexed-composite equivalence -------------------------
+
+
+def test_march_rays_composite_matches_naive():
+    """The reindexed composite (sum_t c[t]*(w[t-1]+w[t])/2) must equal the
+    naive midpoint form sum_s w[s]*(c[s]+c[s+1])/2."""
+    k = jax.random.PRNGKey(3)
+    k1, k2, k3 = jax.random.split(k, 3)
+    b, m, s, c = 2, 7, 12, 5
+    depths = jnp.sort(jax.random.uniform(k1, (b, m, s, 1), minval=1.0, maxval=2.0), axis=-2)
+    colors = jax.random.uniform(k2, (b, m, s, c))
+    densities = jax.random.normal(k3, (b, m, s, 1)) * 2.0
+
+    rgb, depth, weights = march_rays(colors, densities, depths)
+    colors_mid = (colors[:, :, :-1] + colors[:, :, 1:]) / 2
+    naive = jnp.sum(weights * colors_mid, axis=-2) * 2.0 - 1.0
+    np.testing.assert_allclose(np.asarray(rgb), np.asarray(naive), atol=1e-6)
+
+
+def test_sample_pdf_fused_select_matches_naive():
+    """The single-payload one-hot select in _sample_pdf must reproduce the
+    reference four-gather inverse-CDF transform (torch renderer.py:254)."""
+    from real3dportrait_tpu.rendering.renderer import _sample_pdf
+
+    k = jax.random.PRNGKey(5)
+    k1, k2 = jax.random.split(k)
+    r, s_w, n = 64, 13, 9  # bins has s_w + 2 entries
+    bins = jnp.sort(jax.random.uniform(k1, (r, s_w + 2), minval=1.0, maxval=2.0), axis=-1)
+    weights = jax.random.uniform(k2, (r, s_w), minval=0.0, maxval=1.0)
+
+    got = _sample_pdf(bins, weights, n, key=None)
+
+    # naive reference: plain numpy searchsorted + gathers
+    eps = 1e-5
+    w = np.asarray(weights) + eps
+    pdf = w / w.sum(-1, keepdims=True)
+    cdf = np.concatenate([np.zeros((r, 1)), np.cumsum(pdf, -1)], axis=-1)
+    u = np.broadcast_to(np.linspace(0.0, 1.0, n), (r, n))
+    bn = np.asarray(bins)
+    out = np.zeros((r, n))
+    for i in range(r):
+        inds = np.searchsorted(cdf[i], u[i], side="right")
+        below = np.clip(inds - 1, 0, None)
+        above = np.clip(inds, None, s_w)
+        cdf_b, cdf_a = cdf[i][below], cdf[i][above]
+        bins_b = bn[i][np.clip(below, None, s_w + 1)]
+        bins_a = bn[i][np.clip(above, None, s_w + 1)]
+        denom = np.where(cdf_a - cdf_b < eps, 1.0, cdf_a - cdf_b)
+        out[i] = bins_b + (u[i] - cdf_b) / denom * (bins_a - bins_b)
+    np.testing.assert_allclose(np.asarray(got), out, atol=2e-5)

@@ -290,3 +290,38 @@ def test_sr_fuse_bf16_close_to_fp32():
     b = np.asarray(m16.apply(v, img, cam, cond, secc=secc)["image"], np.float32)
     scale = np.abs(a).max() + 1e-6
     assert np.abs(a - b).max() / scale < 0.04, (np.abs(a - b).max(), scale)
+
+
+@pytest.mark.slow
+def test_mfe_bf16_close_to_fp32():
+    """The motion-field-estimator bf16 knobs (fat convs only, and whole-MFE)
+    stay within a small relative bound of the fp32 path (params shared)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from real3dportrait_tpu.models.torso import WarpBasedTorsoModel
+
+    kw = dict(scale="tiny", torso_kp_num=4, version="v2", inp_mode="rgb",
+              norm_mode="affine")
+    m32 = WarpBasedTorsoModel(**kw)
+    rs = np.random.RandomState(0)
+    img = jnp.asarray(rs.rand(1, 64, 64, 3).astype(np.float32) * 2 - 1)
+    seg = jnp.zeros((1, 64, 64, 6)).at[..., 4].set(1.0)
+    kp = jnp.asarray((rs.rand(1, 68, 3) - 0.5).astype(np.float32))
+    head = jnp.asarray(rs.rand(1, 16, 16, 3).astype(np.float32))
+    wts = jnp.asarray(rs.rand(1, 16, 16, 1).astype(np.float32))
+    v = m32.init(jax.random.PRNGKey(0), img, seg, kp, kp,
+                 tgt_head_img=head, tgt_head_weights=wts)
+    out32 = m32.apply(v, img, seg, kp, kp, tgt_head_img=head,
+                      tgt_head_weights=wts)
+    for variant in (dict(mfe_fat_bf16=True), dict(mfe_bf16=True)):
+        m16 = WarpBasedTorsoModel(**kw, **variant)
+        out16 = m16.apply(v, img, seg, kp, kp, tgt_head_img=head,
+                          tgt_head_weights=wts)
+        for k in ("deformed_torso_img", "occlusion_2", "occlusion"):
+            a = np.asarray(out32[k], np.float32)
+            b = np.asarray(out16[k], np.float32)
+            scale = np.abs(a).max() + 1e-6
+            assert np.abs(a - b).max() / scale < 0.03, (
+                variant, k, np.abs(a - b).max(), scale)
