@@ -46,6 +46,34 @@ def conv3d_via_2d(x: jnp.ndarray, kernel: jnp.ndarray,
     return out
 
 
+def folded_banded_kernel(kernel: jnp.ndarray, depth: int) -> jnp.ndarray:
+    """[kd,kh,kw,Ci,Co] 3D kernel -> [kh,kw,Ci*D,Co*D] 2D kernel acting on a
+    depth-folded [B,H,W,Ci*D] layout (c-major, d-minor — the ``view(N,-1,H,W)``
+    flattening the torso branch already uses for its 2D occlusion head).
+
+    The result is block-banded in depth: out channel (c_o, d_o) reads input
+    channel (c_i, d_i) through spatial tap ``kernel[d_i-d_o+kd//2]`` when
+    ``|d_i-d_o| <= kd//2`` and zero otherwise — numerically identical to the
+    zero-padded 3D convolution (same taps; fp32 sums only reassociate).
+
+    Why: a Co=5 (or Co=1) conv wastes 128-lane MXU tiles 25x; folding depth
+    into lanes gives Co*D lanes at a (D/kd)-ish dense-FLOP overcount, which
+    measured a clear win for the motion-field tail (mask 7^3 32->5 + fused
+    occlusion 7^2 512->2: 7.4 ms separate -> 5.8 fused-folded fp32, 4.2 bf16
+    on v5e; BASELINE.md round 4).
+    """
+    kd, kh, kw, ci, co = kernel.shape
+    pad = kd // 2
+    di = jnp.arange(depth)[:, None]
+    do = jnp.arange(depth)[None, :]
+    tap = di - do + pad                                   # [D,D]
+    valid = (tap >= 0) & (tap < kd)
+    kb = kernel[jnp.clip(tap, 0, kd - 1)]                 # [D,D,kh,kw,ci,co]
+    kb = jnp.where(valid[:, :, None, None, None, None], kb, 0)
+    kb = jnp.transpose(kb, (2, 3, 4, 0, 5, 1))            # [kh,kw,ci,di,co,do]
+    return kb.reshape(kh, kw, ci * depth, co * depth)
+
+
 class Conv3D(nn.Module):
     """Drop-in for ``nn.Conv`` on [B,D,H,W,C] with the decomposed lowering.
 

@@ -325,3 +325,39 @@ def test_mfe_bf16_close_to_fp32():
             scale = np.abs(a).max() + 1e-6
             assert np.abs(a - b).max() / scale < 0.03, (
                 variant, k, np.abs(a - b).max(), scale)
+
+
+def test_mfe_fused_tail_matches_direct():
+    """The depth-folded fused mask+occlusion tail is numerically equivalent
+    to the reference-shaped direct lowering (same params, same taps)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from real3dportrait_tpu.models.torso import MotionFieldEstimator
+
+    kw = dict(num_keypoints=4, down_seq=(8, 16), up_seq=(16, 8, 4),
+              norm_mode="affine", use_head_cond=True, head_hid_dim=8)
+    m_fused = MotionFieldEstimator(**kw, tail_mode="fused")
+    m_direct = MotionFieldEstimator(**kw, tail_mode="direct")
+    rs = np.random.RandomState(0)
+    fs = jnp.asarray(rs.randn(1, 4, 16, 16, 4).astype(np.float32))
+    kp_s = jnp.asarray((rs.rand(1, 4, 3) - 0.5).astype(np.float32))
+    kp_d = kp_s + 0.1
+    head = jnp.asarray(rs.rand(1, 16, 16, 3).astype(np.float32))
+    wts = jnp.asarray(rs.rand(1, 16, 16, 1).astype(np.float32))
+    v = m_fused.init(jax.random.PRNGKey(0), fs, kp_s, kp_d,
+                     tgt_head_img=head, tgt_head_weights=wts)
+    # identical param trees (checkpoint compatibility)
+    va = jax.tree_util.tree_structure(v)
+    vb = jax.tree_util.tree_structure(
+        m_direct.init(jax.random.PRNGKey(0), fs, kp_s, kp_d,
+                      tgt_head_img=head, tgt_head_weights=wts))
+    assert va == vb
+    out_f = m_fused.apply(v, fs, kp_s, kp_d, tgt_head_img=head,
+                          tgt_head_weights=wts)
+    out_d = m_direct.apply(v, fs, kp_s, kp_d, tgt_head_img=head,
+                           tgt_head_weights=wts)
+    for a, b, name in zip(out_f, out_d, ("deformation", "occ", "occ2")):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-5, rtol=1e-4, err_msg=name)

@@ -192,6 +192,10 @@ def main():
         ("32+48 merged", dict(n_coarse=32, n_fine=48, mode="merged")),
         ("48+32 merged", dict(n_coarse=48, n_fine=32, mode="merged")),
         ("24+48 merged", dict(n_coarse=24, n_fine=48, mode="merged")),
+        ("32+32 merged", dict(n_coarse=32, n_fine=32, mode="merged")),
+        ("24+32 merged", dict(n_coarse=24, n_fine=32, mode="merged")),
+        ("16+48 merged", dict(n_coarse=16, n_fine=48, mode="merged")),
+        ("16+32 merged", dict(n_coarse=16, n_fine=32, mode="merged")),
         ("lowres/2 coarse 48 + 64 fine-only",
          dict(n_coarse=48, n_fine=64, mode="fine_only", coarse_downsample=2)),
         ("lowres/2 coarse 48 + 48 fine-only",
