@@ -51,15 +51,25 @@ def _gather_rows(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     operand and hit the cliff. Large B falls back to the flattened form
     (the unroll would bloat the program)."""
     b, r, c = table.shape
+    # CONTRACT: idx is already in [0, R) — every caller clips before the
+    # gather. promise_in_bounds skips the default 'fill' mode's select over
+    # the full [M,C] result, which XLA materializes as a separate 0.62 ms
+    # op per 786k x 128 gather in the flagship frame graph (3.7 ms/frame of
+    # guarding for indices that are never out of bounds).
     if b == 1:
-        return jnp.take_along_axis(table, idx[..., None], axis=1)
+        return jnp.take_along_axis(table, idx[..., None], axis=1,
+                                   mode="promise_in_bounds")
     if b <= 16:
+        # (jnp.take has no promise_in_bounds; 'clip' is exact for
+        # already-clipped indices and avoids the fill-select)
         return jnp.stack(
-            [jnp.take(table[i], idx[i], axis=0) for i in range(b)], axis=0
+            [jnp.take(table[i], idx[i], axis=0, mode="clip")
+             for i in range(b)], axis=0
         )
     m = idx.shape[1]
     flat_idx = (idx + jnp.arange(b, dtype=idx.dtype)[:, None] * r).reshape(-1)
-    return jnp.take(table.reshape(b * r, c), flat_idx, axis=0).reshape(b, m, c)
+    return jnp.take(table.reshape(b * r, c), flat_idx, axis=0,
+                    mode="clip").reshape(b, m, c)
 
 
 def _gather_2d(img: jnp.ndarray, ix: jnp.ndarray, iy: jnp.ndarray) -> jnp.ndarray:
