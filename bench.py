@@ -314,6 +314,16 @@ def parent_main() -> None:
     note_bits = []
     if tiny:
         note_bits.append("tiny-config CPU smoke (not the 512^2 number)")
+    else:
+        sc = os.environ.get("BENCH_SAMPLES_COARSE", "16")
+        sf = os.environ.get("BENCH_SAMPLES_FINE", "32")
+        if (sc, sf) == ("16", "32"):
+            note_bits.append("quadrature = shipped 'fast' preset 16+32 "
+                             "samples/ray (64.5 dB PSNR of the reference "
+                             "48+48 render, study in BASELINE.md r4; "
+                             "BENCH_SAMPLES_*=48 restores reference)")
+        else:
+            note_bits.append(f"quadrature = {sc}+{sf} samples/ray")
     if notes:
         note_bits.append("; ".join(notes))
 

@@ -77,6 +77,13 @@ def main():
     p.add_argument("--seed", type=int, default=None,
                    help="sampling seed; default = time-derived "
                         "(`real3d_infer.py:599`)")
+    p.add_argument("--sampling_preset", default="fast",
+                   choices=["reference", "balanced", "fast", "config"],
+                   help="volume-render quadrature: reference=48+48 samples/"
+                        "ray (the exact reference scheme), balanced=24+32 "
+                        "(68.6 dB PSNR of it), fast=16+32 (64.5 dB; the "
+                        "default — both are far beyond 8-bit visibility, "
+                        "see BASELINE.md round 4), config=YAML values")
     p.add_argument("--fps", type=int, default=25)
     p.add_argument("--mock_weights", action="store_true",
                    help="random-init models (no checkpoints available)")
@@ -103,6 +110,7 @@ def main():
     )
     if args.head_torso_threshold is not None:
         cfg = cfg.replace(htbsr_head_threshold=args.head_torso_threshold)
+    cfg = cfg.replace(sampling_preset=args.sampling_preset)
 
     import time
 

@@ -40,6 +40,24 @@ from real3dportrait_tpu.models.img2plane import (
 )
 
 
+# Inference sampling quadrature. The reference integrates 48 coarse + 48
+# fine samples/ray (`egs/egs_bases/eg3d/base.yaml` num_samples_coarse/fine);
+# the weight-independent quadrature study (tools/study_sampling, BASELINE.md
+# round 4) measured reduced schemes on an adversarial thin-shell field:
+# 'balanced' (24+32) renders 68.6 dB PSNR of the reference scheme's own
+# render and 'fast' (16+32) 64.5 dB — both far beyond 8-bit visibility
+# (~48 dB) — while per-frame sampling cost scales with rows/ray (the
+# gathers are the measured per-frame floor). 'reference' restores the exact
+# reference quadrature; 'config' uses the YAML's num_samples_coarse/fine
+# (the training values) untouched.
+SAMPLING_PRESETS: dict[str, tuple[int, int] | None] = {
+    "reference": (48, 48),
+    "balanced": (24, 32),
+    "fast": (16, 32),
+    "config": None,
+}
+
+
 def _resize_np(img: np.ndarray, size: int) -> np.ndarray:
     out = jax.image.resize(jnp.asarray(img, jnp.float32),
                            (size, size, img.shape[-1]), "bilinear")
@@ -89,6 +107,18 @@ class Real3DPortraitPipeline:
         )
 
         # motion2video
+        # library default is 'config' (honor the YAML's num_samples_*); the
+        # inference CLI passes the shipped default 'fast' explicitly
+        preset = cfg.get("sampling_preset", "config")
+        if preset not in SAMPLING_PRESETS:
+            raise ValueError(f"sampling_preset must be one of "
+                             f"{sorted(SAMPLING_PRESETS)}, got {preset!r}")
+        picked = SAMPLING_PRESETS[preset]
+        if picked is None:  # 'config': the YAML training values
+            n_coarse = int(cfg.get("num_samples_coarse", 48))
+            n_fine = int(cfg.get("num_samples_fine", 48))
+        else:
+            n_coarse, n_fine = picked
         model_kwargs = dict(
             triplane_hid_dim=int(cfg.get("triplane_hid_dim", 32)),
             triplane_depth=int(cfg.get("triplane_depth", 3)),
@@ -102,8 +132,8 @@ class Real3DPortraitPipeline:
             secc_segformer_scale=cfg.get("secc_segformer_scale", "b0"),
             pncc_cond_mode=cfg.get("pncc_cond_mode", "cano_src_tgt"),
             sr_num_fp16_res=int(cfg.get("num_fp16_layers_in_super_resolution", 4)),
-            num_samples_coarse=int(cfg.get("num_samples_coarse", 48)),
-            num_samples_fine=int(cfg.get("num_samples_fine", 48)),
+            num_samples_coarse=n_coarse,
+            num_samples_fine=n_fine,
             sr_channel0=int(cfg.get("sr_channel0", 256)),
             sr_channel1=int(cfg.get("sr_channel1", 128)),
             render_bf16=bool(cfg.get("render_bf16", False)),

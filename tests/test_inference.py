@@ -275,3 +275,17 @@ def test_map_pose_to_source():
     e3, t3 = map_pose_to_source(euler, trans, src_e, src_t, map_to_init=False)
     np.testing.assert_allclose(np.asarray(e3), euler, atol=1e-6)
     assert np.allclose(np.asarray(t3[:, 2]), trans[0, 2], atol=1e-6)
+
+
+def test_sampling_presets_plumb_to_model():
+    """--sampling_preset overrides the YAML quadrature; 'config' honors it."""
+    from real3dportrait_tpu.inference.pipeline import (
+        Real3DPortraitPipeline, SAMPLING_PRESETS)
+
+    assert SAMPLING_PRESETS["reference"] == (48, 48)
+    cfg = TINY_CFG.replace(sampling_preset="balanced")
+    p = Real3DPortraitPipeline(cfg=cfg, mock_weights=True, use_torso=False)
+    assert (p.model.num_samples_coarse, p.model.num_samples_fine) == (24, 32)
+    p2 = Real3DPortraitPipeline(cfg=TINY_CFG, mock_weights=True,
+                                use_torso=False)
+    assert (p2.model.num_samples_coarse, p2.model.num_samples_fine) == (6, 6)

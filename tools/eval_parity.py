@@ -54,6 +54,10 @@ def build_pipeline(args, a2m_dir: str, s2v_dir: str):
 
     cfg = load_config(os.path.join(HERE, "configs", "real3d_orig.yaml"),
                       overrides=args.hparams)
+    # parity renders must integrate with the reference's exact quadrature
+    # (48+48); the inference-speed presets are not parity-comparable
+    if "sampling_preset" not in (args.hparams or ""):
+        cfg = cfg.replace(sampling_preset="reference")
     return Real3DPortraitPipeline(
         cfg=cfg,
         mock_weights=args.mock_weights or not (a2m_dir and s2v_dir),
