@@ -77,7 +77,9 @@ def main():
     p.add_argument("--seed", type=int, default=None,
                    help="sampling seed; default = time-derived "
                         "(`real3d_infer.py:599`)")
-    p.add_argument("--sampling_preset", default="fast",
+    from real3dportrait_tpu.inference.pipeline import SHIPPED_SAMPLING_PRESET
+
+    p.add_argument("--sampling_preset", default=SHIPPED_SAMPLING_PRESET,
                    choices=["reference", "balanced", "fast", "config"],
                    help="volume-render quadrature: reference=48+48 samples/"
                         "ray (the exact reference scheme), balanced=24+32 "

@@ -26,12 +26,31 @@ class OSGDecoder(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, sampled_features: jnp.ndarray, ray_directions=None) -> dict:
-        x = sampled_features.mean(axis=1).astype(self.dtype)  # aggregate planes
-        b, m, c = x.shape
-        x = x.reshape(b * m, c)
-        x = FullyConnectedLayer(self.hidden_dim, lr_multiplier=self.lr_multiplier,
-                                name="net0")(x)
+    def __call__(self, sampled_features, ray_directions=None) -> dict:
+        """``sampled_features`` is either the reduced ``[B, n_planes, M, C]``
+        feature tensor, or the unreduced ``(rows_list, weights_list)`` pair
+        from :func:`rendering.renderer.make_corner_sampler` — the latter
+        folds plane-mean + corner reduce into net0's matmul (the weights
+        already carry the 1/n_planes factor), which keeps the wide sampling
+        gather rows on the MXU path with no layout copies."""
+        if isinstance(sampled_features, tuple):
+            rows_list, wts_list = sampled_features
+            b, m = rows_list[0].shape[:2]
+            corners = [
+                (r.reshape(b * m, r.shape[-1]),
+                 wts.reshape(b * m, wts.shape[-1]))
+                for r, wts in zip(rows_list, wts_list)
+            ]
+            x = FullyConnectedLayer(self.hidden_dim,
+                                    lr_multiplier=self.lr_multiplier,
+                                    name="net0")(None, corners=corners)
+        else:
+            x = sampled_features.mean(axis=1).astype(self.dtype)
+            b, m, c = x.shape
+            x = x.reshape(b * m, c)
+            x = FullyConnectedLayer(self.hidden_dim,
+                                    lr_multiplier=self.lr_multiplier,
+                                    name="net0")(x)
         x = jax.nn.softplus(x)
         x = FullyConnectedLayer(1 + self.output_dim, lr_multiplier=self.lr_multiplier,
                                 name="net1")(x)

@@ -37,6 +37,7 @@ class TriPlaneGenerator(nn.Module):
     num_samples_coarse: int = 48
     num_samples_fine: int = 48
     box_warp: float = 1.0
+    corner_fold: bool = False  # fold sampler corner reduce into decoder net0
     ray_near: Any = "auto"
     ray_far: Any = "auto"
 
@@ -96,9 +97,10 @@ class TriPlaneGenerator(nn.Module):
         c2w, intrinsics = unpack_camera(camera)
         res = self.neural_rendering_resolution
         origins, dirs = sample_rays(c2w, intrinsics, res)
+        decoder_fn = lambda f, d: self.decoder(f, d)  # noqa: E731
+        decoder_fn.supports_corners = self.corner_fold  # r5 fast path knob
         out = render_rays(
-            planes, lambda f, d: self.decoder(f, d), origins, dirs,
-            self.render_options, key=key,
+            planes, decoder_fn, origins, dirs, self.render_options, key=key,
         )
         b = camera.shape[0]
         feature_image = out["rgb"].reshape(b, res, res, -1)

@@ -101,6 +101,7 @@ class OSAvatarImg2Plane(nn.Module):
     render_bf16: bool = False         # bf16 plane sampling + decoder matmuls
     torso_bf16: bool = False          # bf16 compute through the torso branch
     sr_fuse_bf16: bool = False        # bf16 compute in the SR fusion convs
+    corner_fold: bool = False         # fold sampler corner reduce into net0
     head_norm_mode: str = "gn"        # "folded_bn" for converted torch ckpts
 
     @property
@@ -182,8 +183,14 @@ class OSAvatarImg2Plane(nn.Module):
     def _decoder_fn(self):
         # a Pallas fused plane-mean+MLP decoder was built, measured in the
         # flagship graph (62.8 vs 52.3 ms/frame, BASELINE.md round 4) and
-        # deleted — the XLA decoder path wins
-        return lambda feats, dirs: self.decoder(feats, dirs)
+        # deleted — the XLA decoder path wins. corner_fold=True advertises
+        # supports_corners so render_rays hands OSGDecoder the unreduced
+        # (rows, weights) packed form and net0's matmul folds the corner
+        # reduce (r5; off by default — A/B'd on the real chip, see
+        # BASELINE.md r5).
+        fn = lambda feats, dirs: self.decoder(feats, dirs)  # noqa: E731
+        fn.supports_corners = self.corner_fold
+        return fn
 
     def render_planes(
         self,

@@ -88,15 +88,46 @@ class FullyConnectedLayer(nn.Module):
     bias_init: float = 0.0
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        in_features = x.shape[-1]
+    def __call__(self, x: jnp.ndarray, corners=None) -> jnp.ndarray:
+        """Standard: ``x [..., C] @ W [C, out]``.
+
+        ``corners`` mode (x must be None): a list of ``(rows [N, G*C],
+        weights [N, G])`` pairs from an unreduced packed sampler
+        (`ops/grid_sample.grid_sample_*_corners`); computes
+        ``sum_i (rows_i * repeat(w_i, C)) @ tile(W, (G, 1)) + b`` — exactly
+        ``(sum_i sum_g w_ig * rows_ig) @ W + b`` with the weighted corner
+        reduce folded into the MXU matmul, so the wide gather rows never pay
+        a layout copy. Same ``weight`` param either way."""
+        if corners is not None:
+            in_features = corners[0][0].shape[-1] // corners[0][1].shape[-1]
+        else:
+            in_features = x.shape[-1]
         w = self.param(
             "weight",
             lambda k, s: jax.random.normal(k, s, jnp.float32) / self.lr_multiplier,
             (in_features, self.out_features),
         )
-        w = w.astype(x.dtype) * (self.lr_multiplier / math.sqrt(in_features))
-        x = x @ w
+        if corners is not None:
+            acc = None
+            for rows, wts in corners:
+                g = wts.shape[-1]
+                wk = jnp.tile(
+                    (w * (self.lr_multiplier / math.sqrt(in_features))
+                     ).astype(rows.dtype),
+                    (g, 1),
+                )
+                xw = rows * jnp.repeat(wts.astype(rows.dtype), in_features,
+                                       axis=-1)
+                y = jax.lax.dot_general(
+                    xw, wk,
+                    dimension_numbers=(((xw.ndim - 1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                acc = y if acc is None else acc + y
+            x = acc
+        else:
+            w = w.astype(x.dtype) * (self.lr_multiplier / math.sqrt(in_features))
+            x = x @ w
         b = None
         if self.use_bias:
             b = self.param(

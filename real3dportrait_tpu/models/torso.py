@@ -365,6 +365,10 @@ class MotionFieldEstimator(nn.Module):
                  tgt_head_weights: jnp.ndarray | None = None):
         """fs [B,D,H,W,C]; kp_* [B,K,3]. Returns (deformation [B,D,H,W,3],
         occlusion [B,H,W,1], occlusion_2 [B,H,W,1])."""
+        if self.tail_mode not in ("fused", "direct"):
+            raise ValueError(
+                f"tail_mode must be 'fused' or 'direct', got {self.tail_mode!r}"
+            )
         b, d, h, w, c = fs.shape
         k = self.num_keypoints
 

@@ -233,6 +233,80 @@ def grid_sample_2d_prepacked(
     return jnp.sum(vals * wxy[..., None].astype(vals.dtype), axis=2)
 
 
+def grid_sample_2d_prepacked_corners(
+    packed: jnp.ndarray,
+    dims: tuple,
+    coords: jnp.ndarray,
+    align_corners: bool = False,
+    padding_mode: str = "zeros",
+) -> list[tuple[jnp.ndarray, jnp.ndarray]]:
+    """Like :func:`grid_sample_2d_prepacked` but WITHOUT the corner reduce:
+    returns ``[(rows [B,M,4C], weights [B,M,4])]`` so a linear consumer (the
+    OSGDecoder first layer) can fold the weighted reduce into its matmul —
+    the gather output then feeds the MXU directly instead of paying a
+    row->sample-major layout copy + a separate multiply-reduce (measured
+    ~0.4 + 0.24 ms per 524k x 128 gather in the flagship frame graph).
+    ``sum_i rows_i * repeat(weights_i, C)`` equals the prepacked sample."""
+    h, w, c = dims
+    x = _source_coord(coords[..., 0], w, align_corners, padding_mode)
+    y = _source_coord(coords[..., 1], h, align_corners, padding_mode)
+
+    x0, y0 = jnp.floor(x), jnp.floor(y)
+    wx1, wy1 = x - x0, y - y0
+    wx0, wy0 = 1 - wx1, 1 - wy1
+
+    xi, sx0, sx1 = _xy_slot_weights(x0, wx0, wx1, w, padding_mode)
+    yi, sy0, sy1 = _xy_slot_weights(y0, wy0, wy1, h, padding_mode)
+    wxy = jnp.stack([sy0 * sx0, sy0 * sx1, sy1 * sx0, sy1 * sx1], axis=-1)
+
+    rows = _gather_rows(packed, yi * w + xi)
+    return [(rows, wxy)]
+
+
+def grid_sample_3d_prepacked4_corners(
+    packed: jnp.ndarray,
+    dims: tuple,
+    coords: jnp.ndarray,
+    align_corners: bool = False,
+    padding_mode: str = "zeros",
+) -> list[tuple[jnp.ndarray, jnp.ndarray]]:
+    """Corner-row form of :func:`grid_sample_3d_prepacked4`: one
+    ``(rows [B,M,4C], weights [B,M,4])`` pair per z corner (one when D == 1,
+    the released triplane depth). ``sum over pairs of rows * repeat(w, C)``
+    equals the reduced sample — see :func:`grid_sample_2d_prepacked_corners`
+    for why the reduce is left to the consumer's matmul."""
+    d, h, w, c = dims
+    x = _source_coord(coords[..., 0], w, align_corners, padding_mode)
+    y = _source_coord(coords[..., 1], h, align_corners, padding_mode)
+    z = _source_coord(coords[..., 2], d, align_corners, padding_mode)
+
+    x0, y0, z0 = jnp.floor(x), jnp.floor(y), jnp.floor(z)
+    wx1, wy1, wz1 = x - x0, y - y0, z - z0
+    wx0, wy0, wz0 = 1 - wx1, 1 - wy1, 1 - wz1
+
+    xi, sx0, sx1 = _xy_slot_weights(x0, wx0, wx1, w, padding_mode)
+    yi, sy0, sy1 = _xy_slot_weights(y0, wy0, wy1, h, padding_mode)
+    wxy = jnp.stack([sy0 * sx0, sy0 * sx1, sy1 * sx0, sy1 * sx1], axis=-1)
+
+    if d == 1:
+        if padding_mode == "zeros":
+            wz = wz0 * ((z0 >= 0) & (z0 <= 0)) + wz1 * ((z0 + 1 >= 0) & (z0 + 1 <= 0))
+        else:
+            wz = jnp.ones_like(wz0)
+        rows = _gather_rows(packed, yi * w + xi)
+        return [(rows, wxy * wz[..., None])]
+
+    out = []
+    for zc, wz in ((z0, wz0), (z0 + 1, wz1)):
+        zi = jnp.clip(zc, 0, d - 1).astype(jnp.int32)
+        rows = _gather_rows(packed, (zi * h + yi) * w + xi)
+        wgt = wxy * wz[..., None]
+        if padding_mode == "zeros":
+            wgt = wgt * ((zc >= 0) & (zc <= d - 1))[..., None]
+        out.append((rows, wgt))
+    return out
+
+
 def grid_sample_2d_packed(
     features: jnp.ndarray,
     coords: jnp.ndarray,

@@ -37,6 +37,15 @@ def setup_filter(f, normalize: bool = True, gain: float = 1.0) -> jnp.ndarray:
     return jnp.asarray(f)
 
 
+def _up_conv_mode() -> str:
+    """Up-conv lowering: 'phase' (pixel-shuffle dense conv, default) or
+    'dilated' (conv on the lhs-dilated input). Read at TRACE time — flip
+    R3DP_UP_MODE and re-jit to A/B; see BASELINE.md r5 for the numbers."""
+    import os
+
+    return os.environ.get("R3DP_UP_MODE", "phase")
+
+
 def _parse_padding(padding) -> tuple[int, int, int, int]:
     if isinstance(padding, int):
         padding = [padding, padding]
@@ -165,6 +174,63 @@ def filtered_lrelu(
     )
 
 
+def _phase_up_conv(x, w, up, py0, py1, px0, px1):
+    """Phase-decomposed (pixel-shuffle) equivalent of the lhs-dilated
+    up-conv: one DENSE conv at input resolution producing ``up²·Cout``
+    channels (one block per output phase), then depth-to-space.
+
+    The lhs-dilated conv spends ``(up²-1)/up²`` of its MAC window on
+    inserted zeros; the phase form runs only the non-zero taps, so the MXU
+    sees a dense 256²-grid conv instead of a 75%-zero 512²-grid one
+    (fusion.215 in the r5 frame trace: 1.69 ms + 0.30 ms layout copy for
+    the SR 256ch→128ch up block). Exact: each output pixel (up·s+a,
+    up·t+b) reads input taps p with (a+p-py0) ≡ 0 (mod up) at phase-grid
+    offset d=(a+p-py0)//up — scattering w[p,q] into per-phase kernel slots
+    reproduces the dilated conv bit-for-bit (test_phase_up_conv_*)."""
+    kh, kw = w.shape[0], w.shape[1]
+    b, h, wdt, cin = x.shape
+    cout = w.shape[3]
+
+    def tap_map(k, p0):
+        taps, ds = {}, []
+        for a in range(up):
+            lst = [(p, (a + p - p0) // up) for p in range(k)
+                   if (a + p - p0) % up == 0]
+            taps[a] = lst
+            ds += [d for _, d in lst]
+        return taps, min(ds), max(ds)
+
+    taps_y, dly, dhy = tap_map(kh, py0)
+    taps_x, dlx, dhx = tap_map(kw, px0)
+    out_h = up * h + py0 + py1 - kh + 1
+    out_w = up * wdt + px0 + px1 - kw + 1
+    sh, sw = -(-out_h // up), -(-out_w // up)  # ceil: phase-grid sizes
+
+    kern = jnp.zeros((dhy - dly + 1, dhx - dlx + 1, cin, up * up * cout),
+                     w.dtype)
+    for a in range(up):
+        for bb in range(up):
+            blk = (a * up + bb) * cout
+            for p, dy in taps_y[a]:
+                for q, dx in taps_x[bb]:
+                    kern = kern.at[dy - dly, dx - dlx, :,
+                                   blk:blk + cout].set(w[p, q])
+
+    y = lax.conv_general_dilated(
+        x, kern.astype(x.dtype),
+        window_strides=(1, 1),
+        # negative low padding crops when d_lo > 0; high pad covers the
+        # furthest tap of the last phase-grid row/col
+        padding=((-dly, (sh - 1 + dhy) - (h - 1)),
+                 (-dlx, (sw - 1 + dhx) - (wdt - 1))),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    y = y.reshape(b, sh, sw, up, up, cout)
+    y = jnp.transpose(y, (0, 1, 3, 2, 4, 5)).reshape(
+        b, sh * up, sw * up, cout)
+    return y[:, :out_h, :out_w]
+
+
 def conv2d_resample(
     x: jnp.ndarray,
     w: jnp.ndarray,
@@ -220,14 +286,17 @@ def conv2d_resample(
             # 256ch 256^2 -> 128ch 512^2: 5.9 -> 4.0 ms, bf16-reassociation
             # equal). lhs_dilation omits the (up-1) trailing zeros upfirdn's
             # zero-insert keeps, hence the px1/py1 adjustment.
-            y = lax.conv_general_dilated(
-                x, w.astype(x.dtype),
-                window_strides=(1, 1),
-                padding=((py0, py1 + up - 1), (px0, px1 + up - 1)),
-                lhs_dilation=(up, up),
-                dimension_numbers=("NHWC", "HWIO", "NHWC"),
-                feature_group_count=groups,
-            )
+            if groups == 1 and _up_conv_mode() == "phase":
+                y = _phase_up_conv(x, w, up, py0, py1, px0, px1)
+            else:
+                y = lax.conv_general_dilated(
+                    x, w.astype(x.dtype),
+                    window_strides=(1, 1),
+                    padding=((py0, py1 + up - 1), (px0, px1 + up - 1)),
+                    lhs_dilation=(up, up),
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                    feature_group_count=groups,
+                )
             x = upfirdn2d(y, f, gain=up * up)
         else:
             x = upfirdn2d(x, f, up=up, padding=(px0, px1, py0, py1),

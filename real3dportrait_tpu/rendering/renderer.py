@@ -27,8 +27,10 @@ import jax.numpy as jnp
 from real3dportrait_tpu.ops.grid_sample import (
     grid_sample_2d,
     grid_sample_2d_prepacked,
+    grid_sample_2d_prepacked_corners,
     grid_sample_3d_packed,
     grid_sample_3d_prepacked4,
+    grid_sample_3d_prepacked4_corners,
     pack_xy_cells,
 )
 from real3dportrait_tpu.rendering import math_utils
@@ -149,6 +151,51 @@ def make_packed_sampler(planes: jnp.ndarray, box_warp: float):
 
         return sample3d
     return lambda coordinates: sample_features(planes, coordinates, box_warp)
+
+
+def make_corner_sampler(planes: jnp.ndarray, box_warp: float):
+    """Prepack the planes ONCE and return a ``coords [B,M,3] ->
+    (rows_list, weights_list)`` sampler that SKIPS the per-corner weighted
+    reduce, or ``None`` when the plane shape has no packed fast path.
+
+    Each list entry is one gather's ``rows [B,M,4C]`` with ``weights
+    [B,M,4]``; the weights already carry the 1/n_planes plane-mean factor, so
+    a corner-aware decoder (``OSGDecoder`` on a tuple input) reconstructs
+    ``net0(mean_k(sample_k))`` exactly as ``sum_i (rows_i * repeat(w_i, C))
+    @ W0 + b0`` — one MXU matmul per gather, consuming the gather output in
+    whatever layout it landed in. This removes the row->sample-major layout
+    copies + multiply-reduces between sampler and decoder that the XLA trace
+    priced at ~2 ms/frame (BASELINE.md round 5)."""
+    small = planes.shape[-3] < 2 or planes.shape[-2] < 2
+    if small or planes.ndim not in (5, 6):
+        return None
+    if planes.ndim == 5:
+        b, k, h, w, c = planes.shape
+        dims3 = None
+    else:
+        b, k, d, h, w, c = planes.shape
+        dims3 = (d, h, w, c)
+    packs = [pack_xy_cells(planes[:, i]) for i in range(k)]
+    inv_k = 1.0 / k
+
+    def sample_corners(coordinates):
+        coords = (2.0 / box_warp) * coordinates
+        rows_list, wts_list = [], []
+        for i, perm in enumerate(_PLANE_PERMS):
+            if dims3 is None:
+                uv = coords[..., jnp.array(perm[:2])]
+                pairs = grid_sample_2d_prepacked_corners(
+                    packs[i], (h, w, c), uv)
+            else:
+                xyz = coords[..., jnp.array(perm)]
+                pairs = grid_sample_3d_prepacked4_corners(
+                    packs[i], dims3, xyz)
+            for rows, wts in pairs:
+                rows_list.append(rows)
+                wts_list.append(wts * inv_k)
+        return rows_list, wts_list
+
+    return sample_corners
 
 
 def run_model(
@@ -409,8 +456,15 @@ def render_rays(
     b, m, _ = ray_origins.shape
     keys = jax.random.split(key, 4) if key is not None else (None,) * 4
 
-    # one shared xy-cell pack for both sampling passes
-    sample_fn = make_packed_sampler(planes, options.box_warp)
+    # one shared xy-cell pack for both sampling passes. Decoders that
+    # advertise ``supports_corners`` take the unreduced (rows, weights) form
+    # and fold the corner reduce into their first matmul (see
+    # make_corner_sampler); everyone else gets reduced [B,3,M,C] features.
+    sample_fn = None
+    if getattr(decoder, "supports_corners", False):
+        sample_fn = make_corner_sampler(planes, options.box_warp)
+    if sample_fn is None:
+        sample_fn = make_packed_sampler(planes, options.box_warp)
 
     if options.ray_start == "auto" or options.ray_end == "auto":
         ray_start, ray_end, is_valid = math_utils.get_ray_limits_box(

@@ -348,6 +348,97 @@ def test_make_packed_sampler_matches_sample_features():
         assert jnp.max(jnp.abs(want - got)) < 1e-5, shape
 
 
+def test_packed_sampler_gather_indices_in_bounds(monkeypatch):
+    """_gather_rows' promise_in_bounds contract: every caller must clip
+    indices into [0, R) BEFORE the gather (the fill-mode guard was measured
+    at 3.7 ms/frame for indices that are never out of bounds and removed).
+    Drive the packed samplers with far-out-of-range and degenerate coords
+    and assert the contract holds at the gather boundary."""
+    import real3dportrait_tpu.ops.grid_sample as gs
+
+    orig = gs._gather_rows
+
+    def checked(table, idx):
+        r = table.shape[1]
+        i = np.asarray(idx)
+        assert i.min() >= 0 and i.max() < r, (i.min(), i.max(), r)
+        return orig(table, idx)
+
+    monkeypatch.setattr(gs, "_gather_rows", checked)
+    key = jax.random.PRNGKey(0)
+    coords = jnp.concatenate([
+        jax.random.uniform(key, (1, 64, 3), minval=-6.0, maxval=6.0),
+        jnp.full((1, 4, 3), -1.0), jnp.full((1, 4, 3), 1.0),
+        jnp.zeros((1, 4, 3)),
+    ], axis=1)
+    img = jax.random.normal(key, (1, 7, 9, 4))
+    vol = jax.random.normal(key, (1, 3, 7, 9, 4))
+    vol1 = jax.random.normal(key, (1, 1, 7, 9, 4))
+    for pm in ("zeros", "border"):
+        gs.grid_sample_2d_packed(img, coords[..., :2], padding_mode=pm)
+        gs.grid_sample_3d_packed(vol, coords, padding_mode=pm)
+        gs.grid_sample_3d_packed(vol1, coords, padding_mode=pm)
+    # the unreduced corner variants share the same contract
+    packed2 = gs.pack_xy_cells(img)
+    gs.grid_sample_2d_prepacked_corners(packed2, (7, 9, 4), coords[..., :2])
+    packed3 = gs.pack_xy_cells(vol)
+    gs.grid_sample_3d_prepacked4_corners(packed3, (3, 7, 9, 4), coords)
+
+
+def test_corner_sampler_matches_sample_features():
+    """The unreduced corner sampler must reconstruct sample_features'
+    plane-MEAN when reduced by hand: sum_i rows_i * repeat(w_i, C)."""
+    import jax
+    import jax.numpy as jnp
+
+    from real3dportrait_tpu.rendering.renderer import (
+        make_corner_sampler, sample_features,
+    )
+
+    coords = jax.random.uniform(jax.random.PRNGKey(1), (2, 300, 3),
+                                minval=-1.2, maxval=1.2)
+    for shape in ((2, 3, 8, 8, 6), (2, 3, 4, 8, 8, 6), (2, 3, 1, 8, 8, 6)):
+        planes = jax.random.normal(jax.random.PRNGKey(0), shape)
+        want = sample_features(planes, coords, 1.0).mean(axis=1)
+        rows_list, wts_list = make_corner_sampler(planes, 1.0)(coords)
+        c = shape[-1]
+        got = sum(r * jnp.repeat(w, c, axis=-1) for r, w in
+                  zip(rows_list, wts_list)).reshape(2, 300, 4, c).sum(axis=2)
+        assert jnp.max(jnp.abs(want - got)) < 1e-5, shape
+
+
+def test_render_rays_corner_decoder_matches_plain():
+    """render_rays with a supports_corners decoder (the fold of plane-mean +
+    corner reduce into net0's matmul) must match the reduced-features path."""
+    from real3dportrait_tpu.geometry import (
+        fov_to_intrinsics, lookat_pose, pack_camera,
+    )
+    from real3dportrait_tpu.geometry.camera import unpack_camera
+    from real3dportrait_tpu.models.decoder import OSGDecoder
+    from real3dportrait_tpu.rendering import sample_rays
+    from real3dportrait_tpu.rendering.renderer import RenderOptions, render_rays
+
+    dec = OSGDecoder(hidden_dim=32, output_dim=16)
+    dv = dec.init(jax.random.PRNGKey(1), jnp.zeros((1, 3, 8, 16)), None)
+    cam = pack_camera(
+        lookat_pose(jnp.zeros((1,)), jnp.zeros((1,)), jnp.zeros((1, 3))),
+        fov_to_intrinsics(),
+    )
+    c2w, intr = unpack_camera(cam)
+    o, d = sample_rays(c2w, intr, 16)
+    opts = RenderOptions(depth_resolution=8, depth_resolution_importance=8)
+    for shape in ((1, 3, 32, 32, 16), (1, 3, 2, 32, 32, 16),
+                  (1, 3, 1, 32, 32, 16)):
+        planes = jax.random.normal(jax.random.PRNGKey(0), shape) * 0.1
+        plain = lambda f, dirs: dec.apply(dv, f, dirs)  # noqa: E731
+        fast = lambda f, dirs: dec.apply(dv, f, dirs)  # noqa: E731
+        fast.supports_corners = True
+        r1 = render_rays(planes, plain, o, d, opts)
+        r2 = render_rays(planes, fast, o, d, opts)
+        assert jnp.max(jnp.abs(r1["rgb"] - r2["rgb"])) < 2e-5, shape
+        assert jnp.max(jnp.abs(r1["depth"] - r2["depth"])) < 2e-4, shape
+
+
 # --- fused-select / reindexed-composite equivalence -------------------------
 
 

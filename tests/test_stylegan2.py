@@ -87,6 +87,31 @@ def test_upfirdn2d_matches_torch():
         )
 
 
+def test_phase_up_conv_matches_dilated(monkeypatch):
+    """The phase-decomposed (pixel-shuffle) up-conv must equal the
+    lhs-dilated lowering bit-for-bit across kernel sizes, paddings, and
+    odd/even input sizes (it is the default up path; R3DP_UP_MODE=dilated
+    restores the old lowering)."""
+    from real3dportrait_tpu.ops.upfirdn2d import conv2d_resample, setup_filter
+
+    f = setup_filter([1, 3, 3, 1])
+    rng = np.random.RandomState(0)
+    for (h, w_), k, pad in [
+        ((8, 8), 3, 1), ((7, 9), 3, 1), ((8, 8), 4, (1, 2, 1, 2)),
+        ((6, 6), 1, 0), ((9, 7), 3, (2, 1, 0, 1)), ((8, 8), 5, 2),
+    ]:
+        x = jnp.asarray(rng.randn(2, h, w_, 4).astype(np.float32))
+        wgt = jnp.asarray(rng.randn(k, k, 4, 6).astype(np.float32) * 0.1)
+        monkeypatch.setenv("R3DP_UP_MODE", "dilated")
+        want = conv2d_resample(x, wgt, f=f, up=2, padding=pad)
+        monkeypatch.setenv("R3DP_UP_MODE", "phase")
+        got = conv2d_resample(x, wgt, f=f, up=2, padding=pad)
+        assert got.shape == want.shape, (k, pad, got.shape, want.shape)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-5,
+                                   err_msg=f"k={k} pad={pad} hw={(h, w_)}")
+
+
 def test_conv2d_resample_up2_resolution():
     x = jax.random.normal(jax.random.PRNGKey(0), (1, 8, 8, 4))
     w = jax.random.normal(jax.random.PRNGKey(1), (3, 3, 4, 6)) * 0.1

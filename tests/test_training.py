@@ -483,3 +483,23 @@ def test_ray_cp_sharded_render_matches_unsharded():
     decoder = lambda f, dd: dec.apply(dv, f, dd)
     rgb_ref = render_rays(planes, decoder, origins, dirs, opts)["rgb"]
     assert float(jnp.max(jnp.abs(rgb_sharded - rgb_ref))) < 1e-5
+
+
+@pytest.mark.slow  # 2x4-process GAN-step dryrun; ~7 min cold / ~3 warm
+def test_dryrun_multihost_two_process():
+    """Gate the multi-host run path (VERDICT r4 #5): two OS processes with 4
+    forced CPU devices each run one distributed GAN step whose loss must
+    match the single-process 8-device run (tools/dryrun_multihost.py; the
+    shared persistent compile cache keeps repeat runs in budget).
+
+    Reference match: multi-machine DDP (`utils/commons/trainer.py:579-610`).
+    """
+    import subprocess
+    import sys
+
+    proc = subprocess.run(
+        [sys.executable, os.path.join(ROOT, "tools", "dryrun_multihost.py")],
+        capture_output=True, text=True, timeout=1500, cwd=ROOT,
+    )
+    assert proc.returncode == 0, proc.stderr[-4000:]
+    assert "dryrun multihost(2x4): 1 GAN step ok" in proc.stdout, proc.stdout
