@@ -281,7 +281,15 @@ class Real3DPortraitPipeline:
                     method=lambda m, c: m.cal_torso_appearance(c),
                 )
 
+            @jax.jit
+            def cal_bg_feat(variables, cond):
+                return model.apply(
+                    variables, cond,
+                    method=lambda m, c: m.cal_bg_feat(c),
+                )
+
             self._cal_torso_appearance = cal_torso_appearance
+            self._cal_bg_feat = cal_bg_feat
 
         else:
 
@@ -493,6 +501,9 @@ class Real3DPortraitPipeline:
             cond["torso_appearance"] = self._cal_torso_appearance(
                 self.model_variables, cond
             )
+            # per-video background cache: the bg encoder (3x 3x3 convs at
+            # mid res, ~97 GFLOP/frame at 512^2) depends only on the bg image
+            cond["bg_feat"] = self._cal_bg_feat(self.model_variables, cond)
 
         assert frame_batch == 1 or n_ident == 1, (
             "frame batching and multi-identity batching are mutually exclusive"
@@ -504,8 +515,8 @@ class Real3DPortraitPipeline:
             # frames (BASELINE north star: "batching frames across the ray
             # dimension")
             cano_plane = jnp.broadcast_to(cano_plane, (fb,) + cano_plane.shape[1:])
-            cond = {k: jnp.broadcast_to(v, (fb,) + v.shape[1:])
-                    for k, v in cond.items()}
+            cond = jax.tree_util.tree_map(
+                lambda v: jnp.broadcast_to(v, (fb,) + v.shape[1:]), cond)
 
         frames = []
 

@@ -137,7 +137,15 @@ class OSAvatarImg2Plane(nn.Module):
                 scale=self.backbone_scale, plane_channels=self.plane_channels,
                 head_norm_mode=self.head_norm_mode,
             )
-        self.decoder = OSGDecoder(hidden_dim=64, output_dim=self.triplane_hid_dim)
+        # render_bf16 extends to the decoder MLP + its rgb/feature output:
+        # the fat [rays*samples, C] color tensor then stays bf16 all the way
+        # to the composite einsum (fp32 MXU accumulation) — halving the
+        # decode->march reshape traffic the r5 XLA trace priced at
+        # ~1.9 ms/frame. Density math is recast to fp32 by the renderer.
+        self.decoder = OSGDecoder(
+            hidden_dim=64, output_dim=self.triplane_hid_dim,
+            dtype=jnp.bfloat16 if self.render_bf16 else jnp.float32,
+        )
         if self.triplane_feature_type == "trigrid_v2":
             self.plane2grid_module = Plane2GridModule(
                 triplane_depth=self.triplane_depth,
@@ -375,6 +383,26 @@ class OSAvatarSECCImg2PlaneTorso(OSAvatarSECCImg2Plane):
         )
         return volume
 
+    def cal_bg_feat(self, cond: dict) -> tuple[jnp.ndarray, jnp.ndarray]:
+        """Per-video cacheable background feature: (mid-res bg RGB, encoded
+        bg feature). Inputs are the background image only — compute once,
+        pass back per frame as ``cond['bg_feat']`` (same dataflow as the
+        torso appearance / cano plane caches)."""
+        b = cond["bg_img"].shape[0]
+        r = self.neural_rendering_resolution
+        dummy = jnp.zeros((b, r, r, 3))
+        feat, _ = self.superresolution(
+            dummy, dummy, jnp.zeros((b, 1, self.w_dim)),
+            ref_torso_rgb=cond["ref_torso_img"],
+            ref_bg_rgb=cond["bg_img"],
+            weights_img=jnp.zeros((b, r, r, 1)),
+            segmap=cond["segmap"],
+            kp_s=cond["kp_src"],
+            kp_d=cond["kp_drv"],
+            bg_only=True,
+        )
+        return feat
+
     def _forward_sr(self, rgb_image, feature_image, ws, weights_image, cond,
                     noise_mode):
         sr_image, torso_ret = self.superresolution(
@@ -387,6 +415,7 @@ class OSAvatarSECCImg2PlaneTorso(OSAvatarSECCImg2Plane):
             kp_d=cond["kp_drv"],
             target_torso_mask=cond.get("target_torso_mask"),
             appearance_volume=cond.get("torso_appearance"),
+            bg_feat=cond.get("bg_feat"),
             noise_mode=noise_mode,
         )
         extra = {

@@ -216,7 +216,6 @@ def grid_sample_2d_prepacked(
     (`modules/eg3ds/volumetric_rendering/renderer.py:65` sample_from_planes).
     """
     h, w, c = dims
-    b = packed.shape[0]
     x = _source_coord(coords[..., 0], w, align_corners, padding_mode)
     y = _source_coord(coords[..., 1], h, align_corners, padding_mode)
 
@@ -229,8 +228,21 @@ def grid_sample_2d_prepacked(
     wxy = jnp.stack([sy0 * sx0, sy0 * sx1, sy1 * sx0, sy1 * sx1], axis=-1)
 
     rows = _gather_rows(packed, yi * w + xi)
-    vals = rows.reshape(b, coords.shape[1], 4, c)
-    return jnp.sum(vals * wxy[..., None].astype(vals.dtype), axis=2)
+    return _corner_reduce(rows, wxy, c)
+
+
+def _corner_reduce(rows: jnp.ndarray, wgt: jnp.ndarray, c: int) -> jnp.ndarray:
+    """Weighted reduce of packed corner rows: [B,M,F*C] x [B,M,F] -> [B,M,C].
+
+    Kept as reshape(...,F,C) + ``jnp.sum(axis)``: XLA lays the reduce out
+    column-major (rows in lanes) and pays a layout copy on the fat gather
+    output (~1.5 ms/frame, r5 trace), but the measured alternative — F
+    lane-SLICE multiply-adds reading the rows row-major — lowers to
+    cross-lane VPU shuffles that cost MORE than the copies they remove
+    (device time 34.5 vs 30.2 ms/frame, r5 in-graph A/B)."""
+    f = wgt.shape[-1]
+    vals = rows.reshape(rows.shape[:-1] + (f, c))
+    return jnp.sum(vals * wgt[..., None].astype(vals.dtype), axis=-2)
 
 
 def grid_sample_2d_prepacked_corners(
@@ -334,7 +346,6 @@ def grid_sample_3d_prepacked4(
     [B,D,H,W,C] volume: one 4C-row gather per z corner (one total when
     D == 1, the released triplane depth)."""
     d, h, w, c = dims
-    b = packed.shape[0]
     x = _source_coord(coords[..., 0], w, align_corners, padding_mode)
     y = _source_coord(coords[..., 1], h, align_corners, padding_mode)
     z = _source_coord(coords[..., 2], d, align_corners, padding_mode)
@@ -347,8 +358,6 @@ def grid_sample_3d_prepacked4(
     yi, sy0, sy1 = _xy_slot_weights(y0, wy0, wy1, h, padding_mode)
     wxy = jnp.stack([sy0 * sx0, sy0 * sx1, sy1 * sx0, sy1 * sx1], axis=-1)
 
-    m = coords.shape[1]
-
     if d == 1:
         # flagship fast path (triplane_depth=1): both z corners clip to the
         # single depth slice, so the two gathers would fetch IDENTICAL rows.
@@ -357,18 +366,15 @@ def grid_sample_3d_prepacked4(
         else:
             wz = jnp.ones_like(wz0)  # border: coords pre-clamped, wz0+wz1=1
         rows = _gather_rows(packed, yi * w + xi)
-        vals = rows.reshape(b, m, 4, c)
-        wgt = wxy * wz[..., None]
-        return jnp.sum(vals * wgt[..., None].astype(vals.dtype), axis=2)
+        return _corner_reduce(rows, wxy * wz[..., None], c)
 
     def z_corner(zc, wz):
         zi = jnp.clip(zc, 0, d - 1).astype(jnp.int32)
         rows = _gather_rows(packed, (zi * h + yi) * w + xi)
-        vals = rows.reshape(b, m, 4, c)
         wgt = wxy * wz[..., None]
         if padding_mode == "zeros":
             wgt = wgt * ((zc >= 0) & (zc <= d - 1))[..., None]
-        return jnp.sum(vals * wgt[..., None].astype(vals.dtype), axis=2)
+        return _corner_reduce(rows, wgt, c)
 
     return z_corner(z0, wz0) + z_corner(z0 + 1, wz1)
 
@@ -455,5 +461,4 @@ def grid_sample_3d_prepacked(
 
     idx = (zi * h + yi) * w + xi
     rows = _gather_rows(packed, idx)
-    vals = rows.reshape(b, coords.shape[1], 8, c)
-    return jnp.sum(vals * w8[..., None].astype(vals.dtype), axis=2)
+    return _corner_reduce(rows, w8, c)

@@ -68,8 +68,13 @@ def march_rays(
 
     # composite color without materializing colors_mid: one read of the fat
     # [B,M,S,C] colors tensor (no midpoint copy, no weights*colors_mid
-    # intermediate); the [B,M,S] reweighting is free.
-    composite_rgb = jnp.einsum("bms,bmsc->bmc", w_c, colors)
+    # intermediate); the [B,M,S] reweighting is free. bf16 colors (the
+    # render_bf16 fast path) are read in bf16 with fp32 MXU accumulation.
+    if colors.dtype == jnp.bfloat16:
+        composite_rgb = jnp.einsum("bms,bmsc->bmc", w_c.astype(jnp.bfloat16),
+                                   colors, preferred_element_type=jnp.float32)
+    else:
+        composite_rgb = jnp.einsum("bms,bmsc->bmc", w_c, colors)
     weight_total = jnp.sum(weights, axis=-2)
     composite_depth = jnp.sum(weights * depths_mid, axis=-2) / weight_total
     composite_depth = jnp.nan_to_num(composite_depth, nan=jnp.inf)

@@ -403,8 +403,16 @@ def _march_merged(depths1, colors1, densities1, depths2, colors2, densities2,
     # composite colors directly from the unmerged concatenation
     w_cat = jnp.einsum("bms,bmst->bmt", w_c, perm)  # [B,M,S_in]
     colors_cat = jnp.concatenate([colors1, colors2], axis=-2)
-    composite_rgb = jnp.einsum("bmt,bmtc->bmc", w_cat,
-                               colors_cat.astype(jnp.float32))
+    if colors_cat.dtype == jnp.bfloat16:
+        # bf16 fast path: read the fat color tensor once in bf16 and let the
+        # MXU accumulate in fp32 (weights in [0,1] lose ~2^-9 relative in
+        # bf16 — below the decoder's own bf16 activation noise)
+        composite_rgb = jnp.einsum(
+            "bmt,bmtc->bmc", w_cat.astype(jnp.bfloat16), colors_cat,
+            preferred_element_type=jnp.float32)
+    else:
+        composite_rgb = jnp.einsum("bmt,bmtc->bmc", w_cat,
+                                   colors_cat.astype(jnp.float32))
 
     weight_total = jnp.sum(weights, axis=-2)
     composite_depth = jnp.sum(weights * depths_mid, axis=-2) / weight_total
@@ -503,8 +511,13 @@ def render_rays(
                 jax.random.normal(rng, out["sigma"].shape, out["sigma"].dtype)
                 * options.density_noise
             )
-        # compositing runs fp32 regardless of the sampling/decoder dtype
-        colors = out["rgb"].astype(jnp.float32).reshape(b, m, n_s, -1)
+        # march math (softplus/exp/cumprod over depth) runs fp32 regardless
+        # of the sampling/decoder dtype; the fat COLOR tensor keeps the
+        # decoder dtype — on the bf16 fast path that halves the
+        # row->sample-major reshape traffic between decode and march (the
+        # f32[524k,32] reshape+copy pair cost 1.6 ms/frame, XLA trace r5) —
+        # and is composited by an MXU einsum with fp32 accumulation.
+        colors = out["rgb"].reshape(b, m, n_s, -1)
         densities = out["sigma"].astype(jnp.float32).reshape(b, m, n_s, 1)
         return colors, densities
 

@@ -113,6 +113,28 @@ def test_osavatar_secc_cano_cache_equivalence(rng):
     assert float(jnp.abs(out_other["image"] - out_full["image"]).max()) > 1e-4
 
 
+def test_render_bf16_close_to_fp32(rng):
+    """render_bf16 (bf16 plane gathers + decoder MLP + bf16 colors through
+    the composite, fp32 density/march math) stays within a small bound of
+    the fp32 render — the shipped inference fast path."""
+    model32 = OSAvatarSECCImg2Plane(**TINY)
+    model16 = OSAvatarSECCImg2Plane(**TINY, render_bf16=True)
+    img = jax.random.normal(rng, (1, 64, 64, 3))
+    secc = jax.random.normal(jax.random.PRNGKey(3), (1, 64, 64, 9))
+    cam = _camera(1)
+    variables = model32.init(
+        {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1)},
+        img, cam, secc=secc,
+    )
+    want = model32.apply(variables, img, cam, secc=secc)
+    got = model16.apply(variables, img, cam, secc=secc)
+    for k in ("image", "image_raw"):
+        err = float(jnp.abs(got[k] - want[k]).max())
+        assert err < 0.08, f"{k}: max|bf16-fp32| = {err}"
+        # and they must not be trivially identical (bf16 path actually ran)
+    assert float(jnp.abs(got["image"] - want["image"]).max()) > 0.0
+
+
 def test_eg3d_teacher_tiny(rng):
     g = TriPlaneGenerator(
         z_dim=16, w_dim=16, plane_resolution=32, triplane_hid_dim=8,

@@ -197,6 +197,13 @@ def test_torso_appearance_cache_equivalence():
     got = m.apply(variables, img, cam, dict(cond, torso_appearance=vol),
                   secc=secc)["image"]
     assert jnp.max(jnp.abs(want - got)) < 1e-5
+    # the per-video background cache reproduces the uncached forward too
+    bg_feat = m.apply(variables, cond,
+                      method=lambda mm, c: mm.cal_bg_feat(c))
+    assert isinstance(bg_feat, tuple) and len(bg_feat) == 2
+    got_bg = m.apply(variables, img, cam, dict(cond, bg_feat=bg_feat),
+                     secc=secc)["image"]
+    assert jnp.max(jnp.abs(want - got_bg)) < 1e-5
 
 
 @pytest.mark.slow

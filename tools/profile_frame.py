@@ -55,7 +55,9 @@ def main():
         assets = synthetic_bfm(n_vertices=35709)
         rng = np.random.RandomState(0)
         res = int(os.environ.get("PROF_SECC_RES", "256"))
-        for fb in (8, 16):
+        fbs = tuple(int(v) for v in
+                    os.environ.get("PROF_SECC_FB", "8,16").split(","))
+        for fb in fbs:
             renderer = SECCRenderer(assets, rasterize_size=res,
                                     output_resolution=512)
             ident = jnp.asarray(np.tile(rng.randn(1, 80).astype(np.float32) * 0.1,
